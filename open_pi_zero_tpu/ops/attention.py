@@ -1,0 +1,91 @@
+"""Attention ops (XLA einsum path).
+
+``mot_attention`` is the hot op of the whole framework: the joint
+mixture-of-transformers attention with Gemma tanh soft-capping at 50 and an
+additive block mask (reference: src/model/vla/joint_model.py:259-282). The
+Pallas-fused version lives in ops/pallas_attention.py; this XLA path is the
+always-correct fallback and the golden oracle the kernel is tested against.
+
+Precision contract (matching the reference):
+  - QK^T accumulated in fp32 (preferred_element_type)
+  - softcap + mask + softmax in fp32
+  - probs cast back to value dtype before PV matmul
+
+Layout: q [B, Lq, Hq, D]; k, v [B, Lkv, Hkv, D]; GQA via reshape —
+no materialized repeat_kv (the reference repeats K/V across query heads,
+src/model/utils.py:19-31; on TPU we fold the group axis into the einsum).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def mot_attention(
+    q: jax.Array,  # [B, Lq, Hq, D]
+    k: jax.Array,  # [B, Lkv, Hkv, D]
+    v: jax.Array,  # [B, Lkv, Hkv, D]
+    mask: jax.Array,  # [B, 1, Lq, Lkv] additive (0 / MASK_NEG)
+    softcap: Optional[float] = 50.0,
+) -> jax.Array:
+    """Softcapped masked attention with grouped queries. Returns [B, Lq, Hq, D]."""
+    b, lq, hq, d = q.shape
+    _, lkv, hkv, _ = k.shape
+    group = hq // hkv
+    qg = q.reshape(b, lq, hkv, group, d)
+
+    # precision=highest: on TPU, fp32 einsums otherwise decompose to bf16
+    # multiplies; for bf16 inputs this is the native MXU path either way.
+    scores = jnp.einsum(
+        "bqhgd,bkhd->bhgqk",
+        qg,
+        k,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [B, Hkv, G, Lq, Lkv] fp32
+    scores = scores * (1.0 / (d**0.5))
+    if softcap is not None:
+        scores = jnp.tanh(scores / softcap) * softcap
+    scores = scores + mask[:, :, None, :, :].astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+
+    out = jnp.einsum(
+        "bhgqk,bkhd->bqhgd",
+        probs,
+        v,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(q.dtype)
+    return out.reshape(b, lq, hq, d)
+
+
+def mha_attention(
+    q: jax.Array,  # [B, L, H, D]
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Plain softmax MHA for the SigLIP tower (no mask, no softcap;
+    reference src/model/paligemma/siglip.py:108-166). fp32 softmax."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / (d**0.5)
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk",
+        q,
+        k,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    scores = scores * scale
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd",
+        probs,
+        v,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.astype(q.dtype)
