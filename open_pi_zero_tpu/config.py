@@ -231,6 +231,9 @@ class JointConfig:
     time_hidden_size: int = 256
     mixture_names: Tuple[str, ...] = ("vlm", "proprio", "action")
     mixtures: Tuple[MixtureConfig, ...] = ()
+    # proprio expert shares the action expert's weights (reference
+    # pizero.py:262-264 tie_action_proprio_weights; structural here)
+    tie_proprio: bool = True
 
     def mixture(self, name: str) -> MixtureConfig:
         return self.mixtures[self.mixture_names.index(name)]

@@ -1,0 +1,434 @@
+"""PiZero: the full π0 VLA model, TPU-native.
+
+Re-design of reference src/model/vla/pizero.py. Everything is a pure
+function over a params pytree + a static `PiZeroConfig`; the 10-step Euler
+integration is a `lax.scan` (compiled once, no Python loop), the VLM/proprio
+prefix is prefilled once into a static [L, B, I+P, Hkv, Dh] K/V buffer.
+
+Param tree:
+  embed_tokens: [V, Dv]                     (reference pizero.py:61-65; also
+                                             the tied lm_head, :106-112)
+  siglip: {...}         (models/siglip.py)
+  projector: {kernel, bias}
+  joint: {mixtures: {vlm, action[, proprio]}}  (models/joint.py)
+  action_encoder: {linear_1, linear_2, linear_3}  (3-layer MLP matching the
+                                             π0 appendix; modules.py:25-53)
+  proprio_encoder: {kernel, bias}
+  action_decoder: {kernel, bias}
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from open_pi_zero_tpu.config import PiZeroConfig
+from open_pi_zero_tpu.models import joint as joint_lib
+from open_pi_zero_tpu.models import siglip as siglip_lib
+from open_pi_zero_tpu.ops.embeddings import sinusoidal_time_embedding
+from open_pi_zero_tpu.ops.linear import linear, linear_init
+from open_pi_zero_tpu.ops.masks import (
+    MASK_NEG,
+    action_position_ids,
+    build_block_causal_mask,
+    proprio_position_ids,
+    split_prefix_and_action_masks,
+    vlm_position_ids,
+)
+
+Array = jax.Array
+
+
+# --------------------------------------------------------------------------- #
+# init
+# --------------------------------------------------------------------------- #
+
+
+def init_params(key: Array, cfg: PiZeroConfig, dtype=jnp.float32) -> dict:
+    vlm_hidden = cfg.mixture("vlm").hidden_size
+    action_hidden = cfg.mixture("action").hidden_size
+    proprio_hidden = cfg.mixture("proprio").hidden_size
+    keys = iter(jax.random.split(key, 10))
+
+    # torch nn.Embedding default: N(0, 1), padding_idx row zeroed
+    embed = jax.random.normal(next(keys), (cfg.vocab_size, vlm_hidden), dtype)
+    embed = embed.at[cfg.pad_token_id].set(0.0)
+
+    # pi0 appendix action encoder: time embedding concatenated per token
+    # unless adaptive conditioning handles time (reference pizero.py:75-97)
+    time_cond = cfg.action_expert_adaptive_mode is None
+    enc_in2 = 2 * action_hidden if time_cond else action_hidden
+    action_encoder = {
+        "linear_1": linear_init(next(keys), cfg.action_dim, action_hidden, dtype),
+        "linear_2": linear_init(next(keys), enc_in2, action_hidden, dtype),
+        "linear_3": linear_init(next(keys), action_hidden, action_hidden, dtype),
+    }
+    return {
+        "embed_tokens": embed,
+        "siglip": siglip_lib.init_params(next(keys), cfg.siglip, dtype),
+        "projector": siglip_lib.init_projector_params(next(keys), cfg.siglip, dtype),
+        "joint": joint_lib.init_joint_params(next(keys), cfg.joint, dtype),
+        "action_encoder": action_encoder,
+        "proprio_encoder": linear_init(next(keys), cfg.proprio_dim, proprio_hidden, dtype),
+        "action_decoder": linear_init(next(keys), action_hidden, cfg.action_dim, dtype),
+    }
+
+
+# --------------------------------------------------------------------------- #
+# encoders
+# --------------------------------------------------------------------------- #
+
+
+def time_embedding(cfg: PiZeroConfig, t: Array, dtype) -> Array:
+    """[B] -> [B, W]: sinusoidal flow-time embedding (reference pizero.py:81-97:
+    width = action hidden unless adaptive mode uses time_hidden_size)."""
+    dim = (
+        cfg.time_hidden_size
+        if cfg.action_expert_adaptive_mode
+        else cfg.mixture("action").hidden_size
+    )
+    return sinusoidal_time_embedding(t, dim, cfg.time_max_period, dtype)
+
+
+def encode_action(
+    params: dict, cfg: PiZeroConfig, action: Array, time_emb: Optional[Array]
+) -> Array:
+    """[B, A, act_dim] (+ [B, W] time) -> [B, A, W] (reference modules.py:25-53)."""
+    p = params["action_encoder"]
+    emb = linear(action, p["linear_1"]["kernel"], p["linear_1"]["bias"])
+    if cfg.action_expert_adaptive_mode is None:
+        tfull = jnp.broadcast_to(
+            time_emb[:, None, :].astype(emb.dtype),
+            (emb.shape[0], emb.shape[1], time_emb.shape[-1]),
+        )
+        emb = jnp.concatenate([tfull, emb], axis=-1)  # time first (reference)
+    emb = jax.nn.silu(linear(emb, p["linear_2"]["kernel"], p["linear_2"]["bias"]))
+    return linear(emb, p["linear_3"]["kernel"], p["linear_3"]["bias"])
+
+
+def encode_proprio(params: dict, proprios: Array) -> Array:
+    p = params["proprio_encoder"]
+    return linear(proprios, p["kernel"], p["bias"])
+
+
+def decode_action(params: dict, hidden: Array) -> Array:
+    p = params["action_decoder"]
+    return linear(hidden, p["kernel"], p["bias"])
+
+
+def embed_image_text(
+    params: dict, cfg: PiZeroConfig, input_ids: Array, pixel_values: Array
+) -> Array:
+    """Merge text embeddings and projected SigLIP features into one
+    [B, S, Dv] sequence (reference pizero.py:376-414), fully vectorized:
+    the i-th image token slot receives the i-th image feature (gather by
+    running count instead of the reference's per-sample index loop);
+    padding slots are zero vectors (the reference fills with pad_token_id=0).
+    """
+    text_embeds = params["embed_tokens"][input_ids]  # [B, S, Dv]
+    feats = siglip_lib.forward(params["siglip"], cfg.siglip, pixel_values)
+    feats = siglip_lib.project(params["projector"], feats)  # [B, N, Dv]
+    vlm_hidden = cfg.mixture("vlm").hidden_size
+    feats = feats / jnp.asarray(vlm_hidden**0.5, feats.dtype)
+
+    image_mask = input_ids == cfg.image_token_index  # [B, S]
+    text_mask = (input_ids != cfg.image_token_index) & (input_ids != cfg.pad_token_id)
+    slot = jnp.clip(jnp.cumsum(image_mask, axis=1) - 1, 0, feats.shape[1] - 1)
+    img_at_slot = jnp.take_along_axis(feats, slot[:, :, None], axis=1)  # [B, S, Dv]
+
+    out = jnp.where(image_mask[:, :, None], img_at_slot, 0.0)
+    out = jnp.where(text_mask[:, :, None], text_embeds, out)
+    return out.astype(text_embeds.dtype)
+
+
+# --------------------------------------------------------------------------- #
+# masks & positions (jit-safe wrappers around ops/masks.py)
+# --------------------------------------------------------------------------- #
+
+
+def prepare_action_inputs(cfg: PiZeroConfig, attention_mask: Array):
+    """attention_mask: [B, S] binary over image+text tokens -> (full_mask,
+    prefix_mask, action_mask, pos_ids dict). Reference pizero.py:271-336."""
+    cnt = jnp.sum(attention_mask, axis=1)
+    full = build_block_causal_mask(
+        cnt, cfg.max_image_text_tokens, cfg.num_proprio_tokens, cfg.num_action_tokens
+    )
+    prefix, action = split_prefix_and_action_masks(
+        full, cfg.max_image_text_tokens, cfg.num_proprio_tokens, cfg.num_action_tokens
+    )
+    positions = {
+        "vlm": vlm_position_ids(cfg.max_image_text_tokens),
+        "proprio": proprio_position_ids(cfg.num_proprio_tokens),
+        "action": action_position_ids(cfg.num_proprio_tokens, cfg.num_action_tokens),
+    }
+    return full, prefix, action, positions
+
+
+# --------------------------------------------------------------------------- #
+# inference
+# --------------------------------------------------------------------------- #
+
+
+def infer_action(
+    params: dict,
+    cfg: PiZeroConfig,
+    rng: Array,
+    input_ids: Array,  # [B, S] int
+    pixel_values: Array,  # [B, H, W, C] normalized
+    attention_mask: Array,  # [B, S] binary (image+text valid)
+    proprios: Array,  # [B, P, proprio_dim]
+) -> Array:
+    """KV-cached action inference: one prefix prefill, then `lax.scan` over
+    the Euler steps (reference pizero.py:416-490). Returns [B, A, act_dim].
+    """
+    dtype = pixel_values.dtype
+    b = input_ids.shape[0]
+    _, prefix_mask, action_mask, pos = prepare_action_inputs(cfg, attention_mask)
+
+    inputs_embeds = embed_image_text(params, cfg, input_ids, pixel_values)
+    proprio_embeds = encode_proprio(params, proprios).astype(dtype)
+
+    # adaptive mode: the cached prefix is conditioned at t=0 (the reference's
+    # adaptive+cached combination is unexercised; its naive path fills the
+    # proprio cache at the first Euler step, i.e. t=0 — we fix that as the
+    # definition so cached == naive holds)
+    prefix_cond = (
+        {"proprio": time_embedding(cfg, jnp.zeros((b,), dtype), dtype)}
+        if cfg.action_expert_adaptive_mode
+        else None
+    )
+    kv_cache = joint_lib.joint_prefill(
+        params["joint"],
+        cfg.joint,
+        {"vlm": inputs_embeds, "proprio": proprio_embeds},
+        {"vlm": pos["vlm"], "proprio": pos["proprio"]},
+        prefix_mask,
+        time_cond=prefix_cond,
+    )
+
+    action0 = jax.random.normal(
+        rng, (b, cfg.horizon_steps, cfg.action_dim), dtype=dtype
+    )
+    delta_t = 1.0 / cfg.num_inference_steps
+
+    def euler_step(carry, _):
+        action, t = carry
+        t_emb = time_embedding(cfg, t, dtype)
+        t_cond = {"action": t_emb} if cfg.action_expert_adaptive_mode else None
+        action_embeds = encode_action(
+            params, cfg, action, None if cfg.action_expert_adaptive_mode else t_emb
+        )
+        hidden = joint_lib.joint_action_step(
+            params["joint"], cfg.joint, action_embeds, kv_cache,
+            pos["action"], action_mask, t_cond,
+        )
+        vel = decode_action(params, hidden)
+        return (action + delta_t * vel, t + delta_t), None
+
+    t0 = jnp.zeros((b,), dtype)
+    (action, _), _ = jax.lax.scan(
+        euler_step, (action0, t0), None, length=cfg.num_inference_steps
+    )
+    if cfg.final_action_clip_value is not None:
+        action = jnp.clip(
+            action, -cfg.final_action_clip_value, cfg.final_action_clip_value
+        )
+    return action
+
+
+def infer_action_naive(
+    params: dict,
+    cfg: PiZeroConfig,
+    rng: Array,
+    input_ids: Array,
+    pixel_values: Array,
+    attention_mask: Array,
+    proprios: Array,
+) -> Array:
+    """No-cache oracle: recompute the full joint forward each Euler step
+    (reference pizero.py:492-557 — its KV cache holds values identical to
+    recomputation, so full recompute is semantically equal). Used by tests
+    to bound cached-path drift (the allclose oracle the reference keeps in
+    comments, eval.py:119-124)."""
+    dtype = pixel_values.dtype
+    b = input_ids.shape[0]
+    full_mask, _, _, pos = prepare_action_inputs(cfg, attention_mask)
+
+    inputs_embeds = embed_image_text(params, cfg, input_ids, pixel_values)
+    proprio_embeds = encode_proprio(params, proprios).astype(dtype)
+
+    action0 = jax.random.normal(
+        rng, (b, cfg.horizon_steps, cfg.action_dim), dtype=dtype
+    )
+    delta_t = 1.0 / cfg.num_inference_steps
+
+    t0_emb = time_embedding(cfg, jnp.zeros((b,), dtype), dtype)
+
+    def euler_step(carry, _):
+        action, t = carry
+        t_emb = time_embedding(cfg, t, dtype)
+        # prefix conditioned at t=0 (matches the cached path; see infer_action)
+        t_cond = (
+            {"proprio": t0_emb, "action": t_emb}
+            if cfg.action_expert_adaptive_mode
+            else None
+        )
+        action_embeds = encode_action(
+            params, cfg, action, None if cfg.action_expert_adaptive_mode else t_emb
+        )
+        hidden = joint_lib.joint_forward(
+            params["joint"],
+            cfg.joint,
+            {"vlm": inputs_embeds, "proprio": proprio_embeds, "action": action_embeds},
+            pos,
+            full_mask,
+            time_cond=t_cond,
+        )["action"]
+        vel = decode_action(params, hidden)
+        return (action + delta_t * vel, t + delta_t), None
+
+    t0 = jnp.zeros((b,), dtype)
+    (action, _), _ = jax.lax.scan(
+        euler_step, (action0, t0), None, length=cfg.num_inference_steps
+    )
+    if cfg.final_action_clip_value is not None:
+        action = jnp.clip(
+            action, -cfg.final_action_clip_value, cfg.final_action_clip_value
+        )
+    return action
+
+
+# --------------------------------------------------------------------------- #
+# flow-matching training loss
+# --------------------------------------------------------------------------- #
+
+
+def psi_t(cfg: PiZeroConfig, x0: Array, x1: Array, t: Array) -> Array:
+    """Conditional flow interpolant (reference pizero.py:597-605)."""
+    t = t[:, None, None]
+    return (1 - (1 - cfg.flow_sig_min) * t) * x0 + t * x1
+
+
+def flow_matching_loss(
+    params: dict,
+    cfg: PiZeroConfig,
+    rng: Array,
+    input_ids: Array,
+    pixel_values: Array,
+    attention_mask: Array,
+    proprios: Array,
+    actions: Array,  # [B, A, act_dim] ground truth
+    t: Array,  # [B] flow times in (0, 1)
+) -> Array:
+    """MSE between predicted velocity and x1 - (1-σmin)·x0
+    (reference pizero.py:607-661). No KV cache."""
+    dtype = pixel_values.dtype
+    full_mask, _, _, pos = prepare_action_inputs(cfg, attention_mask)
+
+    x0 = jax.random.normal(rng, actions.shape, dtype=t.dtype)
+    x1 = actions.astype(t.dtype)
+    xt = psi_t(cfg, x0, x1, t).astype(dtype)
+
+    inputs_embeds = embed_image_text(params, cfg, input_ids, pixel_values)
+    proprio_embeds = encode_proprio(params, proprios).astype(dtype)
+
+    t_emb = time_embedding(cfg, t, dtype)
+    t_cond = t_emb if cfg.action_expert_adaptive_mode else None
+    action_embeds = encode_action(
+        params, cfg, xt, None if cfg.action_expert_adaptive_mode else t_emb
+    )
+    hidden = joint_lib.joint_forward(
+        params["joint"],
+        cfg.joint,
+        {"vlm": inputs_embeds, "proprio": proprio_embeds, "action": action_embeds},
+        pos,
+        full_mask,
+        time_cond=t_cond,
+    )["action"]
+    v_psi = decode_action(params, hidden).astype(jnp.float32)
+    d_psi = (x1 - (1 - cfg.flow_sig_min) * x0).astype(jnp.float32)
+    return jnp.mean(jnp.square(v_psi - d_psi))
+
+
+# --------------------------------------------------------------------------- #
+# text generation (PaliGemma path — parity check #1)
+# --------------------------------------------------------------------------- #
+
+
+def infer_text_logits(
+    params: dict,
+    cfg: PiZeroConfig,
+    input_ids: Array,
+    pixel_values: Array,
+) -> Array:
+    """Single prefill forward returning logits for every position
+    [B, S, V] (reference infer_text without cache, pizero.py:559-593).
+    PaliGemma's prompt attention is fully bidirectional (mask of zeros)."""
+    embeds = embed_image_text(params, cfg, input_ids, pixel_values)
+    b, s, _ = embeds.shape
+    cache = joint_lib.init_text_cache(cfg.joint, b, s, embeds.dtype)
+    mask = jnp.zeros((b, 1, s, s), jnp.float32)
+    positions = jnp.arange(1, s + 1, dtype=jnp.int32)[None].repeat(b, 0)
+    hidden, _ = joint_lib.joint_text_forward(
+        params["joint"], cfg.joint, embeds, positions, mask, cache, 0
+    )
+    return lm_logits(params, hidden)
+
+
+def lm_logits(params: dict, hidden: Array) -> Array:
+    """Tied lm_head: logits = hidden @ embed_tokens^T (reference :106-112)."""
+    out = jnp.einsum(
+        "bsd,vd->bsv", hidden, params["embed_tokens"],
+        preferred_element_type=jnp.float32,
+    )
+    return out
+
+
+def generate_text(
+    params: dict,
+    cfg: PiZeroConfig,
+    input_ids: Array,  # [B, S] unpadded prompt (image tokens + bos + text)
+    pixel_values: Array,
+    max_new_tokens: Optional[int] = None,
+    eos_token_id: int = 1,
+) -> Array:
+    """Greedy decoding with a static-size cache (reference pizero.py:770-791).
+    Returns [B, max_new_tokens]; positions after EOS hold the pad id."""
+    max_new = max_new_tokens or cfg.max_decode_tokens
+    embeds = embed_image_text(params, cfg, input_ids, pixel_values)
+    b, s, _ = embeds.shape
+    total = s + max_new
+    cache = joint_lib.init_text_cache(cfg.joint, b, total, embeds.dtype)
+
+    # prefill: bidirectional over the prompt; cache cols beyond S masked
+    cols = jnp.arange(total)
+    prefill_mask = jnp.where(cols[None, None, None, :] < s, 0.0, MASK_NEG)
+    prefill_mask = jnp.broadcast_to(prefill_mask, (b, 1, s, total)).astype(jnp.float32)
+    positions = jnp.arange(1, s + 1, dtype=jnp.int32)[None].repeat(b, 0)
+    hidden, cache = joint_lib.joint_text_forward(
+        params["joint"], cfg.joint, embeds, positions, prefill_mask, cache, 0
+    )
+    next_tok = jnp.argmax(lm_logits(params, hidden[:, -1:, :]), axis=-1)  # [B, 1]
+
+    def step(carry, i):
+        cache, tok, done = carry
+        emb = params["embed_tokens"][tok]  # [B, 1, Dv]
+        kv_len = s + i + 1  # slots valid after this step's append
+        mask = jnp.where(cols[None, None, None, :] < kv_len, 0.0, MASK_NEG)
+        mask = jnp.broadcast_to(mask, (b, 1, 1, total)).astype(jnp.float32)
+        pos = jnp.full((b, 1), s + i + 1, jnp.int32)
+        hidden, cache = joint_lib.joint_text_forward(
+            params["joint"], cfg.joint, emb, pos, mask, cache, s + i
+        )
+        nxt = jnp.argmax(lm_logits(params, hidden), axis=-1)  # [B, 1]
+        out_tok = jnp.where(done, cfg.pad_token_id, tok[:, 0])  # [B]
+        done = done | (tok[:, 0] == eos_token_id)
+        return (cache, nxt, done), out_tok
+
+    done0 = jnp.zeros((b,), bool)
+    (_, _, _), toks = jax.lax.scan(
+        step, (cache, next_tok, done0), jnp.arange(max_new)
+    )
+    return toks.T  # [B, max_new]

@@ -1,0 +1,165 @@
+"""Model-level tests on a tiny config (same topology as the 3B model).
+
+The central oracle is cached-vs-naive `infer_action` equality: the KV-cached
+path must reproduce the full-recompute path (the reference keeps this check
+only as a comment, src/agent/eval.py:119-124; here it is a hard test)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open_pi_zero_tpu.config import tiny_pizero_config
+from open_pi_zero_tpu.models import joint as joint_lib
+from open_pi_zero_tpu.models import pizero
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return tiny_pizero_config()
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return pizero.init_params(jax.random.key(0), cfg)
+
+
+@pytest.fixture(scope="module")
+def batch(cfg):
+    rng = np.random.default_rng(7)
+    b = 2
+    S = cfg.max_image_text_tokens
+    n_img = cfg.siglip.num_image_tokens
+    input_ids = np.zeros((b, S), np.int32)
+    input_ids[:, :n_img] = cfg.image_token_index
+    # sample 0: 4 text tokens; sample 1: 2 text tokens (rest padding)
+    input_ids[0, n_img : n_img + 4] = rng.integers(2, 400, 4)
+    input_ids[1, n_img : n_img + 2] = rng.integers(2, 400, 2)
+    attention_mask = (input_ids != cfg.pad_token_id).astype(np.int32)
+    img = rng.normal(size=(b, cfg.siglip.image_size, cfg.siglip.image_size, 3))
+    proprios = rng.normal(size=(b, cfg.cond_steps, cfg.proprio_dim))
+    return (
+        jnp.asarray(input_ids),
+        jnp.asarray(img, jnp.float32),
+        jnp.asarray(attention_mask),
+        jnp.asarray(proprios, jnp.float32),
+    )
+
+
+class TestInferAction:
+    def test_cached_matches_naive(self, cfg, params, batch):
+        ids, img, am, prop = batch
+        rng = jax.random.key(42)
+        a_cached = pizero.infer_action(params, cfg, rng, ids, img, am, prop)
+        a_naive = pizero.infer_action_naive(params, cfg, rng, ids, img, am, prop)
+        assert a_cached.shape == (2, cfg.horizon_steps, cfg.action_dim)
+        np.testing.assert_allclose(
+            np.asarray(a_cached), np.asarray(a_naive), rtol=1e-4, atol=1e-5
+        )
+
+    def test_jittable_and_deterministic(self, cfg, params, batch):
+        ids, img, am, prop = batch
+        fn = jax.jit(pizero.infer_action, static_argnums=1)
+        a1 = fn(params, cfg, jax.random.key(1), ids, img, am, prop)
+        a2 = fn(params, cfg, jax.random.key(1), ids, img, am, prop)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        assert np.isfinite(np.asarray(a1)).all()
+        assert (np.abs(np.asarray(a1)) <= cfg.final_action_clip_value + 1e-6).all()
+
+    def test_padding_tokens_do_not_affect_output(self, cfg, params, batch):
+        """pad columns are masked out of attention; garbage in padding slots
+        must not change actions (mask semantics, reference pizero.py:271-324)."""
+        ids, img, am, prop = batch
+        rng = jax.random.key(3)
+        a_ref = pizero.infer_action(params, cfg, rng, ids, img, am, prop)
+        ids2 = np.asarray(ids).copy()
+        # poke garbage token ids into padding region (attention_mask == 0)
+        pad_pos = np.asarray(am) == 0
+        ids2[pad_pos] = 123
+        # note: embed of token 123 lands in the pad slots but columns stay
+        # masked because attention_mask is unchanged
+        a2 = pizero.infer_action(params, cfg, rng, jnp.asarray(ids2), img, am, prop)
+        np.testing.assert_allclose(np.asarray(a_ref), np.asarray(a2), atol=1e-6)
+
+
+class TestFlowLoss:
+    def test_loss_finite_and_grads_flow(self, cfg, params, batch):
+        ids, img, am, prop = batch
+        actions = jnp.asarray(np.random.default_rng(0).normal(size=(2, cfg.horizon_steps, cfg.action_dim)), jnp.float32)
+        t = jnp.asarray([0.3, 0.7], jnp.float32)
+
+        def loss_fn(p):
+            return pizero.flow_matching_loss(
+                p, cfg, jax.random.key(0), ids, img, am, prop, actions, t
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        assert np.isfinite(float(loss))
+        # action expert + encoders + decoder must receive gradient
+        g_dec = grads["action_decoder"]["kernel"]
+        assert float(jnp.abs(g_dec).sum()) > 0
+        g_act = grads["joint"]["mixtures"]["action"]["layers"]["attn"]["q"]
+        assert float(jnp.abs(g_act).sum()) > 0
+        # vlm trunk receives gradient through joint attention
+        g_vlm = grads["joint"]["mixtures"]["vlm"]["layers"]["attn"]["k"]
+        assert float(jnp.abs(g_vlm).sum()) > 0
+        # siglip receives gradient through merged embeddings
+        g_sig = grads["siglip"]["embeddings"]["patch"]["kernel"]
+        assert float(jnp.abs(g_sig).sum()) > 0
+
+    def test_loss_at_t1_targets_x1_minus_eps_x0(self, cfg, params, batch):
+        # at t=1, psi_t = x1 + sig_min*... sanity: loss is computable at ends
+        ids, img, am, prop = batch
+        actions = jnp.zeros((2, cfg.horizon_steps, cfg.action_dim))
+        for tv in (0.0, 1.0):
+            loss = pizero.flow_matching_loss(
+                params, cfg, jax.random.key(0), ids, img, am, prop, actions,
+                jnp.full((2,), tv),
+            )
+            assert np.isfinite(float(loss))
+
+
+class TestTiedProprio:
+    def test_proprio_routes_to_action_params(self, cfg, params):
+        assert "proprio" not in params["joint"]["mixtures"]
+        assert joint_lib.param_key(cfg.joint, "proprio") == "action"
+
+    def test_untied_config_gets_own_params(self, cfg):
+        from dataclasses import replace
+
+        joint_cfg = replace(cfg.joint, tie_proprio=False)
+        p = joint_lib.init_joint_params(jax.random.key(0), joint_cfg)
+        assert "proprio" in p["mixtures"]
+
+
+class TestTextGeneration:
+    def test_generate_shapes_and_determinism(self, cfg, params, batch):
+        ids, img, _, _ = batch
+        toks = pizero.generate_text(params, cfg, ids, img, max_new_tokens=5)
+        assert toks.shape == (2, 5)
+        toks2 = pizero.generate_text(params, cfg, ids, img, max_new_tokens=5)
+        np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks2))
+
+    def test_first_decode_token_matches_prefill_logits(self, cfg, params, batch):
+        """greedy argmax of the prefill's last-position logits must equal the
+        first generated token (cache-correctness of the text path)."""
+        ids, img, _, _ = batch
+        logits = pizero.infer_text_logits(params, cfg, ids, img)
+        expected = np.asarray(jnp.argmax(logits[:, -1], axis=-1))
+        toks = np.asarray(pizero.generate_text(params, cfg, ids, img, max_new_tokens=3))
+        np.testing.assert_array_equal(toks[:, 0], expected)
+
+
+class TestAdaptiveMode:
+    def test_adaln_zero_runs(self, batch):
+        cfg = tiny_pizero_config(action_expert_adaptive_mode="adaLN-Zero")
+        params = pizero.init_params(jax.random.key(0), cfg)
+        ids, img, am, prop = batch
+        a = pizero.infer_action(params, cfg, jax.random.key(1), ids, img, am, prop)
+        assert np.isfinite(np.asarray(a)).all()
+        a_naive = pizero.infer_action_naive(
+            params, cfg, jax.random.key(1), ids, img, am, prop
+        )
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(a_naive), rtol=1e-4, atol=1e-5
+        )
