@@ -1,0 +1,89 @@
+"""Headline benchmark: bf16 KV-cached action-chunk inference latency
+(1 image + text + proprio -> 4-action chunk via 10 Euler flow steps) on one
+chip, matching the reference's headline measurement
+(try_checkpoint_in_simpler.py:111-115: per-call latency, compile-warmup
+excluded).
+
+Measurement notes: under the axon backend `block_until_ready` is a no-op
+and a host read costs ~25-30 ms of tunnel round-trip, so we (a) serialize
+K calls with a real data dependency (each call's proprio input carries a
+zero-scaled term of the previous output, so the chain cannot pipeline),
+(b) force completion with one host read at the end, and (c) subtract the
+separately-measured read overhead. Reported value = per-call latency.
+
+Baseline: 75 ms on RTX 4090 with bf16 + torch.compile (reference
+README.md:79; BASELINE.md). vs_baseline is the speedup factor
+(baseline_ms / measured_ms; > 1 means faster than the reference).
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_MS = 75.0  # RTX 4090, bf16 + torch.compile (reference README.md:79)
+CHAIN = 20
+
+
+def _read_overhead_ms(reps: int = 5) -> float:
+    @jax.jit
+    def tiny(x):
+        return x + 1.0
+
+    x = jnp.zeros((), jnp.float32)
+    float(tiny(x))  # compile
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(tiny(x))
+        times.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(times))
+
+
+def main():
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+    params, rng, ids, img, am, prop = args
+
+    def chained(params, rng, ids, img, am, prop):
+        # carry: actions feed a zero-scaled term into proprio -> serialized
+        out = fn(params, rng, ids, img, am, prop)
+        return prop + (0.0 * out.mean()).astype(prop.dtype), out
+
+    jfn = jax.jit(chained)
+
+    # compile + warmup, force completion with a host read
+    p, out = jfn(params, rng, ids, img, am, prop)
+    _ = np.asarray(out[0, 0, 0])
+
+    overhead = _read_overhead_ms()
+
+    t0 = time.perf_counter()
+    for _ in range(CHAIN):
+        prop, out = jfn(params, rng, ids, img, am, prop)
+    _ = np.asarray(out[0, 0, 0])  # forces the whole chain
+    total = (time.perf_counter() - t0) * 1e3
+
+    per_call = (total - overhead) / CHAIN
+
+    print(
+        json.dumps(
+            {
+                "metric": "action_chunk_latency_bf16",
+                "value": round(per_call, 3),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_MS / per_call, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -396,6 +396,82 @@ def pizero_config_from_dict(cfg: ConfigDict) -> PiZeroConfig:
     )
 
 
+@dataclass(frozen=True)
+class LRSchedulerConfig:
+    """Cosine-annealing-with-warmup-restarts knobs (reference
+    src/utils/optim.py:31; config/train/bridge.yaml `*_lr_scheduler`)."""
+
+    first_cycle_steps: int = 10_000_000
+    min_lr: float = 1e-8
+    warmup_steps: int = 200
+    cycle_mult: float = 1.0
+    gamma: float = 1.0
+
+
+@dataclass(frozen=True)
+class TrainingConfig:
+    """Optimization hyperparameters (reference config/train/bridge.yaml:68-86
+    and src/agent/train.py:169-210)."""
+
+    global_batch_size: int = 1024
+    per_device_batch_size: int = 16
+    action_lr: float = 5e-5
+    vlm_lr: float = 5e-5
+    action_weight_decay: float = 0.0
+    vlm_weight_decay: float = 0.0
+    max_grad_norm: float = 1.0
+    train_vlm: bool = True
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    action_lr_scheduler: LRSchedulerConfig = field(default_factory=LRSchedulerConfig)
+    vlm_lr_scheduler: LRSchedulerConfig = field(default_factory=LRSchedulerConfig)
+    # model averaging (reference src/agent/model_averaging.py)
+    use_ema: bool = False
+    ema_decay: float = 0.99
+    ema_start: int = 0
+    ema_freq: int = 1
+    use_swa: bool = False
+    swa_start: int = 0
+    swa_freq: int = 1
+    # 8-bit optimizer states (reference bnb AdamW8bit; here blockwise-int8
+    # quantized optax states)
+    quantize_optimizer_states: bool = False
+
+
+def training_config_from_dict(cfg: ConfigDict) -> TrainingConfig:
+    def sched(d):
+        d = d or ConfigDict()
+        return LRSchedulerConfig(
+            first_cycle_steps=int(d.get("first_cycle_steps", 10_000_000)),
+            min_lr=float(d.get("min_lr", 1e-8)),
+            warmup_steps=int(d.get("warmup_steps", 200)),
+            cycle_mult=float(d.get("cycle_mult", 1.0)),
+            gamma=float(d.get("gamma", 1.0)),
+        )
+
+    return TrainingConfig(
+        global_batch_size=int(cfg.get("global_batch_size", 1024)),
+        per_device_batch_size=int(cfg.get("per_device_batch_size", 16)),
+        action_lr=float(cfg.get("action_lr", 5e-5)),
+        vlm_lr=float(cfg.get("vlm_lr", 5e-5)),
+        action_weight_decay=float(cfg.get("action_weight_decay", 0.0)),
+        vlm_weight_decay=float(cfg.get("vlm_weight_decay", 0.0)),
+        max_grad_norm=float(cfg.get("max_grad_norm", 1.0)),
+        train_vlm=bool(cfg.get("train_vlm", True)),
+        action_lr_scheduler=sched(cfg.get("action_lr_scheduler")),
+        vlm_lr_scheduler=sched(cfg.get("vlm_lr_scheduler")),
+        use_ema=bool(cfg.get("use_ema", False)),
+        ema_decay=float(cfg.get("ema_decay", 0.99)),
+        ema_start=int(cfg.get("ema_start", 0) or 0),
+        ema_freq=int(cfg.get("ema_freq", 1)),
+        use_swa=bool(cfg.get("use_swa", False)),
+        swa_start=int(cfg.get("swa_start", 0) or 0),
+        swa_freq=int(cfg.get("swa_freq", 1) or 1),
+        quantize_optimizer_states=bool(cfg.get("quantize", False)),
+    )
+
+
 def tiny_pizero_config(**kw) -> PiZeroConfig:
     """A scaled-down config for fast tests (same topology, tiny dims)."""
     joint = JointConfig(

@@ -1,0 +1,63 @@
+"""Device mesh & sharding helpers.
+
+The reference's only parallelism is multi-node DDP over NCCL
+(SURVEY.md §2.6; slurm/train_multi_node.sh + DDP wrap in train.py:121-126).
+The TPU-native equivalent is a `jax.sharding.Mesh` with a leading `data`
+axis: params replicated, batch sharded, gradient psum inserted by XLA under
+jit — no hand-written collectives (grad all-reduce rides the ICI).
+
+A `model` axis is part of the mesh signature from day one so tensor
+parallelism over the 16384-wide Gemma MLP is a sharding-rule change, not a
+rewrite; v1 ships data-parallel like the reference (model axis size 1).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """2-D (data, model) mesh. Defaults to all devices on the data axis.
+
+    On multi-host TPU slices, `jax.devices()` is global — the same call
+    builds the cross-host mesh (DCN-aware ordering can be layered on via
+    mesh_utils when multi-slice arrives)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model == len(devices), (
+        f"mesh {n_data}x{n_model} != {len(devices)} devices"
+    )
+    arr = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading batch axis split across `data` (and nothing else)."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """device_put every leaf with its batch axis over `data`."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    s = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)

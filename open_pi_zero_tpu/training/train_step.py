@@ -1,0 +1,145 @@
+"""The jitted training step: flow-matching loss -> grads -> dual-group
+AdamW -> EMA/SWA, with gradient accumulation as a `lax.scan` inside the
+step (reference: the torch loop accumulates with DDP no_sync,
+train.py:349-386; on TPU the accumulation lives inside one compiled step
+so the gradient psum happens once per update, not per microbatch)."""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from open_pi_zero_tpu.config import PiZeroConfig, TrainingConfig
+from open_pi_zero_tpu.models import pizero
+from open_pi_zero_tpu.training import averaging as avg_lib
+from open_pi_zero_tpu.training import optimizer as opt_lib
+from open_pi_zero_tpu.training.sampling import sample_flow_time
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jax.Array  # int32: number of optimizer updates applied
+    rng: jax.Array
+    avg: Optional[avg_lib.AveragingState]  # EMA/SWA, None when disabled
+
+
+def init_train_state(
+    params: dict,
+    tx: optax.GradientTransformation,
+    rng: jax.Array,
+    train_cfg: TrainingConfig,
+) -> TrainState:
+    avg = (
+        avg_lib.init_averaging(params)
+        if (train_cfg.use_ema or train_cfg.use_swa)
+        else None
+    )
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32), rng, avg)
+
+
+def batch_loss(
+    params: dict, cfg: PiZeroConfig, rng: jax.Array, batch: dict
+) -> jax.Array:
+    """Sample flow times + noise and evaluate the flow-matching MSE.
+    batch: {input_ids, pixel_values, attention_mask, proprios, actions}."""
+    rng_t, rng_x0 = jax.random.split(rng)
+    bsz = batch["actions"].shape[0]
+    t = sample_flow_time(rng_t, bsz, cfg)
+    return pizero.flow_matching_loss(
+        params, cfg, rng_x0,
+        batch["input_ids"], batch["pixel_values"], batch["attention_mask"],
+        batch["proprios"], batch["actions"], t,
+    )
+
+
+def make_train_step(
+    cfg: PiZeroConfig,
+    train_cfg: TrainingConfig,
+    tx: optax.GradientTransformation,
+    grad_accum: int = 1,
+):
+    """Returns step(state, batch) -> (state, metrics).
+
+    With grad_accum > 1 every batch leaf carries a leading [accum] axis;
+    microbatch grads are averaged by a scan before one optimizer update
+    (matching the reference's normalized-loss accumulation,
+    train.py:355-368)."""
+
+    def grads_of(params, rng, batch):
+        return jax.value_and_grad(batch_loss)(params, cfg, rng, batch)
+
+    def step(state: TrainState, batch: dict) -> Tuple[TrainState, dict]:
+        rng, sub = jax.random.split(state.rng)
+        if grad_accum == 1:
+            loss, grads = grads_of(state.params, sub, batch)
+        else:
+            subs = jax.random.split(sub, grad_accum)
+
+            def micro(carry, xs):
+                acc_loss, acc_grads = carry
+                r, mb = xs
+                l, g = grads_of(state.params, r, mb)
+                return (
+                    acc_loss + l / grad_accum,
+                    jax.tree.map(lambda a, b: a + b / grad_accum, acc_grads, g),
+                ), None
+
+            zero = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
+            (loss, grads), _ = jax.lax.scan(
+                micro, (jnp.zeros((), jnp.float32), zero), (subs, batch)
+            )
+
+        # trained-grad norm for logging (post freeze surgery, pre clip —
+        # same quantity torch's clip_grad_norm_ returns, train.py:371)
+        surgered = opt_lib.zero_unused_vlm_last_layer(
+            opt_lib._tree_update(
+                grads, ("embed_tokens",), lambda g: jnp.zeros_like(g)
+            )
+        )
+        grad_norm = optax.global_norm(surgered)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_step = state.step + 1
+        avg = (
+            avg_lib.maybe_update(state.avg, params, new_step, train_cfg)
+            if state.avg is not None
+            else None
+        )
+        metrics = {"loss": loss, "grad_norm": grad_norm}
+        return TrainState(params, opt_state, new_step, rng, avg), metrics
+
+    return step
+
+
+def make_jitted_train_step(
+    cfg: PiZeroConfig,
+    train_cfg: TrainingConfig,
+    tx: optax.GradientTransformation,
+    mesh=None,
+    grad_accum: int = 1,
+):
+    """jit the step; with a mesh, shard the batch over `data` and keep the
+    state replicated — XLA inserts the gradient psum (DP, SURVEY.md §2.6)."""
+    step = make_train_step(cfg, train_cfg, tx, grad_accum)
+    if mesh is None:
+        return jax.jit(step, donate_argnums=0)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    # batch axis over data; with accumulation the accum axis leads, so the
+    # sharded batch axis is axis 1
+    bspec = NamedSharding(mesh, P(None, "data") if grad_accum > 1 else P("data"))
+    return jax.jit(
+        step,
+        in_shardings=(rep, bspec),
+        out_shardings=(rep, rep),
+        donate_argnums=0,
+    )
