@@ -1,0 +1,76 @@
+"""Timing / logging / device-memory probes (reference src/utils/monitor.py),
+re-targeted at JAX: CUDA memory probes become `device.memory_stats()`, the
+rank filter keys off `jax.process_index()`."""
+
+from __future__ import annotations
+
+import functools
+import logging
+import time
+from typing import Optional
+
+
+def log_device_memory(log=None, stage: str = "loading model", device=None):
+    """Log live HBM usage of one device (reference log_allocated_gpu_memory,
+    monitor.py:8-12)."""
+    import jax
+
+    device = device or jax.devices()[0]
+    stats = device.memory_stats() or {}
+    in_use = stats.get("bytes_in_use", 0)
+    msg = f"Device memory after {stage}: {in_use / 1024**3:.2f} GB"
+    (log.info if log else print)(msg)
+    return in_use
+
+
+def log_execution_time(logger: Optional[logging.Logger] = None):
+    """Decorator logging wall-clock runtime of heavy calls
+    (reference monitor.py:15-35)."""
+
+    def decorator(func):
+        @functools.wraps(func)
+        def wrapper(*args, **kwargs):
+            start = time.time()
+            result = func(*args, **kwargs)
+            elapsed = time.time() - start
+            msg = f"{func.__name__} took {elapsed:.2f} seconds to execute."
+            (logger.info if logger else print)(msg)
+            return result
+
+        return wrapper
+
+    return decorator
+
+
+class Timer:
+    """Wall-clock timer returning seconds since last call
+    (reference monitor.py:38-47)."""
+
+    def __init__(self):
+        self._start = time.time()
+
+    def __call__(self, reset: bool = True) -> float:
+        now = time.time()
+        diff = now - self._start
+        if reset:
+            self._start = now
+        return diff
+
+
+class MainRankFilter(logging.Filter):
+    """Log only on the main host (reference monitor.py:51-58 keyed on DDP
+    rank; here on jax.process_index)."""
+
+    def __init__(self, main_rank: Optional[bool] = None):
+        super().__init__()
+        if main_rank is None:
+            try:
+                import jax
+
+                main_rank = jax.process_index() == 0
+            except Exception:
+                main_rank = True
+        self.main_rank = bool(main_rank)
+
+    def filter(self, record):
+        return self.main_rank

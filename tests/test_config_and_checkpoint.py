@@ -1,0 +1,138 @@
+"""Config YAML loading + typed-config construction + orbax checkpoint
+roundtrip (incl. resume-equivalence of a training run)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open_pi_zero_tpu.config import (
+    TrainingConfig,
+    load_config,
+    pizero_config_from_dict,
+    tiny_pizero_config,
+    training_config_from_dict,
+)
+from open_pi_zero_tpu.models import pizero
+from open_pi_zero_tpu.training import optimizer as opt_lib
+from open_pi_zero_tpu.training.checkpoint import (
+    restore_checkpoint,
+    restore_params,
+    save_checkpoint,
+    save_params,
+)
+from open_pi_zero_tpu.training.train_step import init_train_state, make_train_step
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class TestConfigYaml:
+    def test_bridge_train_config(self):
+        cfg = load_config(os.path.join(REPO, "configs/train/bridge.yaml"))
+        # ${eval:} arithmetic resolved
+        assert cfg.n_updates == 1550000 // 1024 * 15
+        assert cfg.save_model_start == 1550000 // 1024 * 5
+        model_cfg = pizero_config_from_dict(cfg)
+        assert model_cfg.joint.num_hidden_layers == 18
+        assert model_cfg.mixture("vlm").hidden_size == 2048
+        assert model_cfg.mixture("vlm").rope_theta == 10000.0
+        assert model_cfg.mixture("action").rope_theta == 100.0
+        assert model_cfg.mixture("action").cache is False
+        assert model_cfg.siglip.num_hidden_layers == 27
+        assert model_cfg.total_tokens == 276 + 1 + 4
+        tcfg = training_config_from_dict(cfg)
+        assert tcfg.action_lr == 5e-5
+        assert tcfg.action_lr_scheduler.warmup_steps == 200
+        assert tcfg.max_grad_norm == 1.0
+
+    def test_fractal_train_config(self):
+        cfg = load_config(os.path.join(REPO, "configs/train/fractal.yaml"))
+        model_cfg = pizero_config_from_dict(cfg)
+        assert model_cfg.proprio_dim == 8
+        assert cfg.data.train.dataset_mix == "fractal"
+        assert cfg.data.train.split == "train[:95%]"
+
+    def test_eval_configs(self):
+        for name, theta in (("bridge", 10000.0), ("fractal", 10000.0)):
+            cfg = load_config(os.path.join(REPO, f"configs/eval/{name}.yaml"))
+            model_cfg = pizero_config_from_dict(cfg)
+            assert model_cfg.mixture("action").rope_theta == theta
+            assert model_cfg.time_max_period == 10000.0
+
+    def test_overrides(self):
+        cfg = load_config(
+            os.path.join(REPO, "configs/train/bridge.yaml"),
+            overrides=["global_batch_size=512", "mixture.vlm.hidden_size=64"],
+        )
+        assert cfg.global_batch_size == 512
+        assert cfg.n_updates == 1550000 // 512 * 15  # arithmetic sees override
+        assert cfg.mixture.vlm.hidden_size == 64
+
+    def test_statistics_json_present(self):
+        import json
+
+        for name in ("bridge", "fractal"):
+            with open(os.path.join(REPO, f"configs/statistics/{name}_statistics.json")) as f:
+                stats = json.load(f)
+            # reference schema (SURVEY.md §2.4)
+            key = next(iter(stats)) if "action" not in stats else None
+            node = stats[key] if key else stats
+            assert "action" in node and "proprio" in node
+            for field in ("mean", "std", "p99", "p01"):
+                assert field in node["action"]
+
+
+class TestCheckpoint:
+    def test_trainstate_roundtrip_and_resume_equivalence(self, tmp_path):
+        cfg = tiny_pizero_config()
+        tcfg = TrainingConfig(use_ema=True, ema_start=0)
+        params = pizero.init_params(jax.random.key(0), cfg)
+        tx = opt_lib.build_optimizer(tcfg, params)
+        step = jax.jit(make_train_step(cfg, tcfg, tx))
+        state = init_train_state(params, tx, jax.random.key(1), tcfg)
+
+        rng = np.random.default_rng(0)
+        S, n_img = cfg.max_image_text_tokens, cfg.siglip.num_image_tokens
+        ids = np.zeros((2, S), np.int32)
+        ids[:, :n_img] = cfg.image_token_index
+        ids[:, n_img] = 9
+        batch = {
+            "input_ids": jnp.asarray(ids),
+            "pixel_values": jnp.asarray(
+                rng.normal(size=(2, cfg.siglip.image_size, cfg.siglip.image_size, 3)),
+                jnp.float32,
+            ),
+            "attention_mask": jnp.asarray((ids != 0).astype(np.int32)),
+            "proprios": jnp.zeros((2, cfg.cond_steps, cfg.proprio_dim)),
+            "actions": jnp.zeros((2, cfg.horizon_steps, cfg.action_dim)),
+        }
+
+        state, _ = step(state, batch)
+        save_checkpoint(str(tmp_path / "ckpt"), state, extra={"cnt_batch": 7})
+
+        # continue two more steps from live state
+        s_live = state
+        for _ in range(2):
+            s_live, m_live = step(s_live, batch)
+
+        # restore and continue identically
+        abstract = init_train_state(params, tx, jax.random.key(1), tcfg)
+        restored, extra = restore_checkpoint(str(tmp_path / "ckpt"), abstract)
+        assert extra == {"cnt_batch": 7}
+        assert int(restored.step) == 1
+        s_res = restored
+        for _ in range(2):
+            s_res, m_res = step(s_res, batch)
+        np.testing.assert_allclose(float(m_live["loss"]), float(m_res["loss"]), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(s_live.params), jax.tree.leaves(s_res.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_params_only_roundtrip(self, tmp_path):
+        cfg = tiny_pizero_config()
+        params = pizero.init_params(jax.random.key(3), cfg)
+        save_params(str(tmp_path / "p"), params)
+        out = restore_params(str(tmp_path / "p"), params)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(out)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
