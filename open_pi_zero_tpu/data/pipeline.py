@@ -1,0 +1,355 @@
+"""Dataset assembly: single-RLDS pipeline, interleaved mixes, and the
+numpy/device feed (reference src/data/dataset.py:257-604 +
+src/data/dataset_torch.py; tf.data stays on host CPU feeding the TPU —
+the idiomatic JAX input stack).
+
+Fixes the reference's hardcoded `data_dir` override bug (dataset.py:401 —
+a fork artifact SURVEY.md flags as not-to-reproduce)."""
+
+from __future__ import annotations
+
+import inspect
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import tensorflow as tf
+
+from open_pi_zero_tpu.data import normalization as norm_lib
+from open_pi_zero_tpu.data import obs_transforms, rlds, traj_transforms
+
+REQUIRED_KEYS = {"observation", "action"}
+
+
+def _fingerprint(kwargs: dict) -> str:
+    fn = kwargs.get("standardize_fn")
+    fn_src = ""
+    if fn is not None:
+        try:
+            fn_src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            fn_src = repr(fn)
+    parts = [
+        kwargs.get("name", ""),
+        str(sorted((kwargs.get("image_obs_keys") or {}).items())),
+        str(kwargs.get("proprio_obs_key")),
+        fn_src,
+    ]
+    return "|".join(parts)
+
+
+def make_dataset_from_rlds(
+    name: str,
+    data_dir: str,
+    *,
+    train: bool = True,
+    split: Optional[str] = None,
+    standardize_fn: Optional[Callable] = None,
+    image_obs_keys: Dict[str, Optional[str]] = None,
+    depth_obs_keys: Optional[Dict[str, Optional[str]]] = None,
+    proprio_obs_key: Optional[str] = None,
+    language_key: Optional[str] = None,
+    action_proprio_normalization_type: str = norm_lib.BOUNDS,
+    dataset_statistics: Optional[dict] = None,
+    action_normalization_mask: Optional[Sequence[bool]] = None,
+    skip_norm: bool = False,
+    num_parallel_reads: int = tf.data.AUTOTUNE,
+    num_parallel_calls: int = tf.data.AUTOTUNE,
+    seed: Optional[int] = None,
+    statistics_cache_dir: Optional[str] = None,
+) -> Tuple[tf.data.Dataset, dict]:
+    """RLDS dir -> (trajectory dataset in canonical layout, statistics).
+
+    Canonical trajectory layout (reference restructure, dataset.py:346-396):
+      observation: image_<view> (encoded strings), proprio [T, P], timestep
+      task: language_instruction
+      action: [T, A] float32, dataset_name
+    """
+    import os
+
+    ds_dir = data_dir if os.path.exists(
+        os.path.join(data_dir, rlds.FEATURES_FILE)
+    ) else os.path.join(data_dir, name)
+    spec = rlds.load_spec(ds_dir)
+    image_obs_keys = image_obs_keys or {}
+
+    if split is None:
+        if "val" in spec.splits:
+            split = "train" if train else "val"
+        else:
+            split = "train[:95%]" if train else "train[95%:]"
+
+    def restructure(ep: dict) -> dict:
+        steps = ep["steps"]
+        traj = {
+            "observation": dict(steps.get("observation", {})),
+            "action": tf.cast(steps["action"], tf.float32),
+        }
+        if "language_instruction" in steps:
+            traj["language_instruction"] = steps["language_instruction"]
+        if standardize_fn is not None:
+            traj = standardize_fn(traj)
+        if not REQUIRED_KEYS <= set(traj):
+            raise ValueError(f"standardize_fn must produce keys {REQUIRED_KEYS}")
+
+        traj_len = tf.shape(traj["action"])[0]
+        old_obs = traj["observation"]
+        new_obs = {}
+        for new, old in image_obs_keys.items():
+            new_obs[f"image_{new}"] = (
+                tf.repeat("", traj_len) if old is None else old_obs[old]
+            )
+        for new, old in (depth_obs_keys or {}).items():
+            new_obs[f"depth_{new}"] = (
+                tf.repeat("", traj_len) if old is None else old_obs[old]
+            )
+        if proprio_obs_key is not None:
+            new_obs["proprio"] = tf.cast(old_obs[proprio_obs_key], tf.float32)
+        new_obs["timestep"] = tf.range(traj_len)
+
+        task = {}
+        if language_key is not None:
+            lang = traj.get(language_key)
+            if lang is None:
+                lang = traj["observation"].get(language_key)
+            if lang is None:
+                lang = tf.repeat("", traj_len)
+            task["language_instruction"] = lang
+
+        return {
+            "observation": new_obs,
+            "task": task,
+            "action": tf.cast(traj["action"], tf.float32),
+            "dataset_name": tf.repeat(name, traj_len),
+        }
+
+    def make_restructured(for_stats: bool) -> tf.data.Dataset:
+        ds = rlds.episode_dataset(
+            ds_dir, split="train" if for_stats else split, spec=spec,
+            shuffle=(train and not for_stats), num_parallel_reads=num_parallel_reads,
+            seed=seed,
+        )
+        ds = ds.map(restructure, num_parallel_calls)
+        return ds.filter(lambda t: tf.shape(t["action"])[0] > 0)
+
+    if dataset_statistics is None:
+        dataset_statistics = norm_lib.get_or_compute_statistics(
+            make_restructured(for_stats=True),
+            ds_dir,
+            _fingerprint({
+                "name": name, "image_obs_keys": image_obs_keys,
+                "proprio_obs_key": proprio_obs_key, "standardize_fn": standardize_fn,
+            }),
+            cache_dir=statistics_cache_dir,
+        )
+
+    ds = make_restructured(for_stats=False)
+    if not skip_norm:
+        ds = ds.map(
+            partial(
+                norm_lib.normalize_traj,
+                stats=dataset_statistics,
+                normalization_type=action_proprio_normalization_type,
+                action_mask=action_normalization_mask,
+            ),
+            num_parallel_calls,
+        )
+    return ds, dataset_statistics
+
+
+def apply_trajectory_transforms(
+    ds: tf.data.Dataset,
+    *,
+    train: bool,
+    window_size: int = 1,
+    action_horizon: int = 1,
+    subsample_length: Optional[int] = None,
+    skip_unlabeled: bool = False,
+    max_action: Optional[float] = None,
+    max_proprio: Optional[float] = None,
+    max_action_dim: Optional[int] = None,
+    max_proprio_dim: Optional[int] = None,
+    num_parallel_calls: int = tf.data.AUTOTUNE,
+) -> tf.data.Dataset:
+    """Filters + pad-mask bookkeeping + chunking + subsample
+    (reference dataset.py:32-175)."""
+    if skip_unlabeled:
+        ds = ds.filter(traj_transforms.has_language)
+    if max_action is not None:
+        ds = ds.filter(partial(traj_transforms.within_action_bounds, max_action=max_action))
+    if max_proprio is not None:
+        ds = ds.filter(partial(traj_transforms.within_proprio_bounds, max_proprio=max_proprio))
+    ds = ds.map(traj_transforms.add_pad_mask_dict, num_parallel_calls)
+    ds = ds.map(
+        partial(
+            traj_transforms.pad_actions_and_proprio,
+            max_action_dim=max_action_dim,
+            max_proprio_dim=max_proprio_dim,
+        ),
+        num_parallel_calls,
+    )
+    ds = ds.map(
+        partial(
+            traj_transforms.chunk_act_obs,
+            window_size=window_size,
+            action_horizon=action_horizon,
+        ),
+        num_parallel_calls,
+    )
+    if train and subsample_length is not None:
+        ds = ds.map(
+            partial(traj_transforms.subsample, subsample_length=subsample_length),
+            num_parallel_calls,
+        )
+    return ds
+
+
+def apply_frame_transforms(
+    ds: tf.data.Dataset,
+    *,
+    train: bool,
+    resize_size: Dict[str, Tuple[int, int]],
+    image_augment_kwargs: Optional[Dict[str, dict]] = None,
+    image_dropout_prob: float = 0.0,
+    num_parallel_calls: int = tf.data.AUTOTUNE,
+    seed: int = 0,
+) -> tf.data.Dataset:
+    """Per-frame decode/resize/augment with a per-frame derived seed
+    (reference dataset.py:178-254)."""
+    ds = ds.enumerate()
+
+    def xform(i, frame):
+        return obs_transforms.apply_obs_transforms(
+            frame,
+            seed=tf.cast(i, tf.int32) + seed,
+            resize_size=resize_size,
+            image_augment_kwargs=image_augment_kwargs,
+            image_dropout_prob=image_dropout_prob,
+            train=train,
+        )
+
+    return ds.map(xform, num_parallel_calls)
+
+
+def make_interleaved_dataset(
+    dataset_kwargs_list: List[dict],
+    sample_weights: Optional[List[float]] = None,
+    *,
+    train: bool = True,
+    split: Optional[str] = None,
+    shuffle_buffer_size: int = 10_000,
+    batch_size: Optional[int] = None,
+    balance_weights: bool = True,
+    traj_transform_kwargs: Optional[dict] = None,
+    frame_transform_kwargs: Optional[dict] = None,
+    traj_transform_threads: Optional[int] = None,
+    traj_read_threads: Optional[int] = None,
+    seed: int = 0,
+) -> tf.data.Dataset:
+    """Weight-balanced interleave of several RLDS datasets
+    (reference make_interleaved_dataset, dataset.py:484-604):
+    per-dataset stats -> weights (balanced by transition count) ->
+    repeat -> traj transforms -> flatten -> sample_from_datasets ->
+    shuffle -> frame transforms [-> batch]."""
+    sample_weights = list(sample_weights or [1.0] * len(dataset_kwargs_list))
+    assert len(sample_weights) == len(dataset_kwargs_list)
+    traj_transform_kwargs = dict(traj_transform_kwargs or {})
+    frame_transform_kwargs = dict(frame_transform_kwargs or {})
+
+    # pass 1: statistics (cached)
+    all_stats = []
+    for kw in dataset_kwargs_list:
+        _, stats = make_dataset_from_rlds(
+            **{k: v for k, v in kw.items() if k != "action_normalization_mask"},
+            train=train, split=split,
+        )
+        all_stats.append(stats)
+
+    if balance_weights:
+        sizes = np.asarray([s["num_transitions"] for s in all_stats], np.float64)
+        sample_weights = list(np.asarray(sample_weights) * sizes)
+    total = sum(sample_weights)
+    sample_weights = [w / total for w in sample_weights]
+
+    read_alloc = allocate_threads(traj_read_threads, np.asarray(sample_weights))
+    xform_alloc = allocate_threads(traj_transform_threads, np.asarray(sample_weights))
+
+    frame_datasets = []
+    for kw, stats, n_read, n_xform in zip(
+        dataset_kwargs_list, all_stats, read_alloc, xform_alloc
+    ):
+        ds, _ = make_dataset_from_rlds(
+            **kw, train=train, split=split, dataset_statistics=stats,
+            num_parallel_reads=int(n_read), num_parallel_calls=int(n_xform),
+            seed=seed,
+        )
+        ds = ds.repeat() if train else ds
+        ds = apply_trajectory_transforms(
+            ds, train=train, num_parallel_calls=int(n_xform), **traj_transform_kwargs
+        )
+        frame_datasets.append(traj_transforms.flatten_to_frames(ds))
+
+    if len(frame_datasets) == 1:
+        ds = frame_datasets[0]
+    else:
+        ds = tf.data.Dataset.sample_from_datasets(
+            frame_datasets, weights=sample_weights, seed=seed
+        )
+    if train and shuffle_buffer_size > 1:
+        ds = ds.shuffle(shuffle_buffer_size, seed=seed)
+    if frame_transform_kwargs:
+        ds = apply_frame_transforms(ds, train=train, seed=seed, **frame_transform_kwargs)
+    if batch_size is not None:
+        ds = ds.batch(batch_size, drop_remainder=True)
+    options = tf.data.Options()
+    options.autotune.ram_budget = 1 << 30  # 1 GB, like the reference (:595)
+    options.experimental_optimization.apply_default_optimizations = True
+    ds = ds.with_options(options)
+    ds.sample_weights = sample_weights
+    ds.dataset_statistics = all_stats
+    return ds
+
+
+def allocate_threads(n: Optional[int], weights: np.ndarray) -> np.ndarray:
+    """Integer thread split proportional to weights, minimum 1 each
+    (reference data_utils.py:424-454)."""
+    if n is None:
+        return np.asarray([tf.data.AUTOTUNE] * len(weights))
+    weights = np.asarray(weights, np.float64)
+    assert (weights >= 0).all() and len(weights) <= n
+    weights = weights / weights.sum()
+    alloc = np.zeros_like(weights, dtype=int)
+    while True:
+        mask = (weights * n < 1) & (weights > 0)
+        if not mask.any():
+            break
+        n -= int(mask.sum())
+        alloc += mask.astype(int)
+        weights[mask] = 0
+        weights = weights / weights.sum()
+    frac, integral = np.modf(weights * n)
+    alloc += integral.astype(int)
+    n -= int(integral.sum())
+    for i in np.argsort(frac)[::-1][:n]:
+        alloc[i] += 1
+    return alloc
+
+
+# --------------------------------------------------------------------------- #
+# host feed (reference dataset_torch.py -> numpy -> device_put)
+# --------------------------------------------------------------------------- #
+
+
+def numpy_iterator(ds: tf.data.Dataset):
+    return ds.as_numpy_iterator()
+
+
+def host_sharded_iterator(ds: tf.data.Dataset, batch_size: int):
+    """Per-host feed: each JAX process shards the stream so the global
+    batch is disjoint across hosts (replaces the reference's per-rank
+    DataLoader, train.py:142-156)."""
+    import jax
+
+    ds = ds.shard(jax.process_count(), jax.process_index())
+    ds = ds.batch(batch_size, drop_remainder=True)
+    yield from ds.as_numpy_iterator()
