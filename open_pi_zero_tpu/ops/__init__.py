@@ -14,7 +14,12 @@ from open_pi_zero_tpu.ops.masks import (
     split_prefix_and_action_masks,
     vlm_position_ids,
 )
-from open_pi_zero_tpu.ops.attention import mha_attention, mot_attention
+from open_pi_zero_tpu.ops.attention import (
+    mha_attention,
+    mot_attention,
+    mot_attention_xla,
+)
+from open_pi_zero_tpu.ops.pallas_attention import mot_attention_fused
 
 __all__ = [
     "rms_norm",
@@ -32,4 +37,6 @@ __all__ = [
     "action_position_ids",
     "mha_attention",
     "mot_attention",
+    "mot_attention_xla",
+    "mot_attention_fused",
 ]

@@ -31,6 +31,24 @@ def mot_attention(
     mask: jax.Array,  # [B, 1, Lq, Lkv] additive (0 / MASK_NEG)
     softcap: Optional[float] = 50.0,
 ) -> jax.Array:
+    """Dispatching entry point: Pallas-fused kernel on TPU (or when forced
+    via OPZ_FUSED_ATTENTION=1/interpret), XLA einsum path otherwise."""
+    from open_pi_zero_tpu.ops import pallas_attention as pa
+
+    if pa.fused_attention_enabled():
+        return pa.mot_attention_fused(
+            q, k, v, mask, softcap, interpret=pa.fused_interpret_mode()
+        )
+    return mot_attention_xla(q, k, v, mask, softcap)
+
+
+def mot_attention_xla(
+    q: jax.Array,  # [B, Lq, Hq, D]
+    k: jax.Array,  # [B, Lkv, Hkv, D]
+    v: jax.Array,  # [B, Lkv, Hkv, D]
+    mask: jax.Array,  # [B, 1, Lq, Lkv] additive (0 / MASK_NEG)
+    softcap: Optional[float] = 50.0,
+) -> jax.Array:
     """Softcapped masked attention with grouped queries. Returns [B, Lq, Hq, D]."""
     b, lq, hq, d = q.shape
     _, lkv, hkv, _ = k.shape
