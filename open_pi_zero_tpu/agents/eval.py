@@ -1,0 +1,179 @@
+"""EvalAgent: closed-loop SimplerEnv evaluation (reference src/agent/eval.py).
+
+The policy step is one jitted `pizero.infer_action` call (prefill + 10
+Euler steps compiled together; reference wraps PiZeroInference in
+torch.compile, eval.py:40-44). Everything env-facing is host numpy through
+the env adapters. simpler_env / imageio are imported lazily so the module
+loads in environments without the simulator.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import random
+from collections import defaultdict
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from open_pi_zero_tpu.agents.env_adapter import make_adapter
+from open_pi_zero_tpu.config import ConfigDict, pizero_config_from_dict
+from open_pi_zero_tpu.models import convert, pizero
+from open_pi_zero_tpu.utils.monitor import Timer, log_execution_time
+
+log = logging.getLogger(__name__)
+
+
+class EvalAgent:
+    def __init__(self, cfg: ConfigDict, env=None, adapter=None, params=None):
+        """env/adapter/params injectable for tests; by default built from
+        config (simpler_env.make, reference eval.py:56-58)."""
+        self.cfg = cfg
+        self.seed = int(cfg.get("seed", 42))
+        random.seed(self.seed)
+        np.random.seed(self.seed)
+
+        self.model_cfg = pizero_config_from_dict(cfg)
+        self.dtype = jnp.bfloat16 if cfg.get("use_bf16") else jnp.float32
+
+        self.n_eval_episode = int(cfg.get("n_eval_episode", 240))
+        self.n_video = int(cfg.get("n_video", 0))
+        self.record_video = bool(cfg.get("record_video", False)) and self.n_video > 0
+        self.act_steps = int(cfg.get("act_steps", cfg.get("horizon_steps", 4)))
+        self.log_dir = os.path.expanduser(str(cfg.get("log_dir", "/tmp/opz_eval")))
+        self.video_dir = os.path.join(self.log_dir, "video")
+        os.makedirs(self.video_dir, exist_ok=True)
+
+        # ---- model ----
+        self.params = params if params is not None else self._load_params()
+
+        self._infer = jax.jit(
+            lambda params, rng, ids, pix, am, prop: pizero.infer_action(
+                params, self.model_cfg, rng, ids, pix, am, prop
+            )
+        )
+        self.rng = jax.random.key(self.seed)
+
+        # ---- env ----
+        self.env = env
+        if self.env is None:
+            import simpler_env
+
+            self.env = simpler_env.make(str(cfg.env.task))
+        self.adapter = adapter
+        if self.adapter is None:
+            acfg = dict(cfg.env.adapter)
+            self.adapter = make_adapter(acfg.pop("name"), **acfg)
+
+    @log_execution_time(log)
+    def _load_params(self) -> dict:
+        path = self.cfg.get("checkpoint_path")
+        assert path, "checkpoint_path required for eval"
+        path = os.path.expanduser(str(path))
+        if path.endswith(".pt"):
+            params = convert.load_vla_checkpoint(path, self.model_cfg, self.dtype)
+        else:
+            from open_pi_zero_tpu.training import checkpoint as ckpt_lib
+
+            abstract = pizero.init_params(
+                jax.random.key(0), self.model_cfg, dtype=self.dtype
+            )
+            params = ckpt_lib.restore_params(path, abstract)
+        return convert.to_dtype(params, self.dtype)
+
+    # ------------------------------------------------------------------ #
+    def act(self, inputs: dict) -> np.ndarray:
+        """model inputs -> normalized action chunk [A, act_dim]."""
+        self.rng, sub = jax.random.split(self.rng)
+        chunk = self._infer(
+            self.params,
+            sub,
+            jnp.asarray(inputs["input_ids"]),
+            jnp.asarray(inputs["pixel_values"], self.dtype),
+            jnp.asarray(inputs["attention_mask"]),
+            jnp.asarray(inputs["proprios"], self.dtype),
+        )
+        return np.asarray(chunk[0], np.float32)
+
+    # ------------------------------------------------------------------ #
+    def run(self) -> dict:
+        """Episode loop (reference eval.py:60-179): reset with episode-keyed
+        object placement, run chunks of `act_steps`, handle multi-subtask
+        instruction switching, account success on truncation."""
+        env, adapter = self.env, self.adapter
+        cnt_episode = 0
+        successes = []
+        per_step_times = []
+        video_writer = None
+        timer = Timer()
+
+        env_reset_options = {}
+        if hasattr(env, "reset") and self.cfg.get("env") is not None:
+            env_reset_options = {"obj_init_options": {"episode_id": cnt_episode}}
+        obs, reset_info = env.reset(seed=self.seed, options=env_reset_options)
+        instruction = env.get_language_instruction()
+        adapter.reset()
+        log.info("instruction: %s", instruction)
+        if self.record_video:
+            video_writer = self._open_video(cnt_episode)
+
+        while cnt_episode < self.n_eval_episode:
+            inputs = adapter.preprocess(env, obs, instruction)
+            t0 = timer()
+            action_chunk = adapter.postprocess(self.act(inputs))
+            per_step_times.append(timer())
+
+            success, truncated, terminated = False, False, False
+            for action in action_chunk[: self.act_steps]:
+                obs, reward, success, truncated, info = env.step(action)
+                if video_writer is not None:
+                    video_writer.append_data(adapter.get_video_frame(env, obs))
+                new_instruction = env.get_language_instruction()
+                if new_instruction != instruction:
+                    instruction = new_instruction  # multi-subtask envs
+                    log.info("new instruction: %s", instruction)
+                if truncated:
+                    break
+
+            if truncated:
+                successes.append(bool(success))
+                if video_writer is not None:
+                    self._close_video(video_writer, cnt_episode, bool(success))
+                    video_writer = None
+                cnt_episode += 1
+                if cnt_episode >= self.n_eval_episode:
+                    break
+                env_reset_options["obj_init_options"] = {"episode_id": cnt_episode}
+                obs, reset_info = env.reset(options=env_reset_options)
+                instruction = env.get_language_instruction()
+                adapter.reset()
+                if self.record_video and cnt_episode < self.n_video:
+                    video_writer = self._open_video(cnt_episode)
+
+        success_rate = float(np.mean(successes)) if successes else 0.0
+        result = {
+            "n_episodes": cnt_episode,
+            "success_rate": success_rate,
+            "mean_inference_time_s": (
+                float(np.mean(per_step_times[1:])) if len(per_step_times) > 1 else None
+            ),  # exclude compile warm-up, reference try_checkpoint:111-115
+        }
+        log.info("eval done: %s", result)
+        return result
+
+    # ------------------------------------------------------------------ #
+    def _open_video(self, episode_id: int):
+        import imageio
+
+        path = os.path.join(self.video_dir, f"episode_{episode_id}.mp4")
+        return imageio.get_writer(path, fps=10)
+
+    def _close_video(self, writer, episode_id: int, success: bool):
+        writer.close()
+        if success:  # success-suffix renaming (reference eval.py:144-151)
+            src = os.path.join(self.video_dir, f"episode_{episode_id}.mp4")
+            dst = os.path.join(self.video_dir, f"episode_{episode_id}_success.mp4")
+            os.replace(src, dst)

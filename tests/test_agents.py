@@ -1,0 +1,391 @@
+"""Agent-layer tests: env adapters (normalization, gripper state machines,
+rotation postprocessing), the interleaved-dataset wrapper, a TrainAgent
+end-to-end smoke on a synthetic RLDS bridge dataset, and an EvalAgent
+episode loop against a fake environment — all hermetic (FakeTokenizer, no
+simpler_env / hub access)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import tensorflow as tf
+
+tf.config.set_visible_devices([], "GPU")
+
+import jax
+
+from open_pi_zero_tpu.agents import env_adapter as ea
+from open_pi_zero_tpu.agents.dataset import RLDSInterleavedDataset
+from open_pi_zero_tpu.config import ConfigDict
+from open_pi_zero_tpu.data import rlds
+from open_pi_zero_tpu.processing import FakeTokenizer
+from open_pi_zero_tpu.utils.geometry import euler2axangle
+
+STATS_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "configs/statistics/bridge_statistics.json",
+)
+
+
+def _adapter(cls=ea.BridgeSimplerAdapter, **kw):
+    kw.setdefault("dataset_statistics_path", STATS_PATH)
+    kw.setdefault("num_image_tokens", 4)
+    kw.setdefault("image_size", (28, 28))
+    kw.setdefault("max_seq_len", 12)
+    kw.setdefault("tokenizer", FakeTokenizer(image_token_id=500))
+    return cls(**kw)
+
+
+class TestBaseNormalization:
+    def test_bound_roundtrip(self):
+        rng = np.random.default_rng(0)
+        lo, hi = -np.ones(6), np.ones(6) * 3
+        x = rng.uniform(-1, 3, size=(10, 6))
+        n = ea.BaseEnvAdapter.normalize_bound(x, lo, hi)
+        assert (n >= -1).all() and (n <= 1).all()
+        back = ea.BaseEnvAdapter.denormalize_bound(n, lo, hi)
+        np.testing.assert_allclose(back, x, atol=1e-6)
+
+    def test_gaussian_roundtrip(self):
+        rng = np.random.default_rng(1)
+        mean, std = rng.normal(size=4), rng.uniform(0.5, 2, size=4)
+        x = rng.normal(size=(5, 4))
+        n = ea.BaseEnvAdapter.normalize_gaussian(x, mean, std)
+        back = ea.BaseEnvAdapter.denormalize_gaussian(n, mean, std)
+        np.testing.assert_allclose(back, x, atol=1e-6)
+
+
+class TestBridgeAdapter:
+    def test_gripper_binarization(self):
+        a = _adapter()
+        assert a.postprocess_gripper(0.9) == 1.0
+        assert a.postprocess_gripper(0.1) == -1.0
+        assert a.postprocess_gripper(0.5) == -1.0  # strict >
+
+    def test_postprocess_rotation_and_denorm(self):
+        a = _adapter()
+        chunk = np.zeros((2, 7), np.float32)
+        chunk[:, -1] = 1.0  # open
+        out = a.postprocess(chunk)
+        assert out.shape == (2, 7)
+        # gripper converted to +1 (open)
+        np.testing.assert_allclose(out[:, -1], 1.0)
+        # normalized zeros denormalize to the midpoint of [p01, p99]
+        stats = json.load(open(STATS_PATH))["action"]
+        mid = (np.asarray(stats["p01"]) + np.asarray(stats["p99"]))[:3] / 2
+        np.testing.assert_allclose(out[0, :3], mid, atol=1e-5)
+        # rotation columns are axis*angle of the denormalized euler angles
+        eul = ea.BaseEnvAdapter.denormalize_bound(
+            chunk[:1, 3:6], np.asarray(stats["p01"])[3:6], np.asarray(stats["p99"])[3:6]
+        )[0]
+        ax, ang = euler2axangle(*eul)
+        np.testing.assert_allclose(out[0, 3:6], ax * ang, atol=1e-6)
+
+    def test_preprocess_proprio_topdown_frame(self):
+        a = _adapter()
+        # identity quaternion -> rotation = default_rot^T's euler
+        obs = {"agent": {"eef_pos": np.array([0.1, 0.2, 0.3, 1, 0, 0, 0, 0.7])}}
+        p = a.preprocess_proprio(obs)
+        assert p.shape == (7,)
+        np.testing.assert_allclose(p[:3], [0.1, 0.2, 0.3])
+        np.testing.assert_allclose(p[-1], 0.7)
+
+    def test_preprocess_full(self, monkeypatch):
+        a = _adapter()
+        img = np.random.default_rng(0).integers(0, 255, (64, 64, 3), np.uint8)
+        monkeypatch.setattr(ea, "_get_simpler_image", lambda env, obs: img)
+        obs = {"agent": {"eef_pos": np.array([0.1, 0.2, 0.3, 1, 0, 0, 0, 0.7])}}
+        inputs = a.preprocess(None, obs, "pick up the carrot")
+        assert inputs["pixel_values"].shape == (1, 28, 28, 3)
+        assert inputs["pixel_values"].min() >= -1 and inputs["pixel_values"].max() <= 1
+        assert inputs["input_ids"].shape == (1, 12)
+        assert (inputs["input_ids"][0, :4] == 500).all()  # image tokens first
+        assert inputs["proprios"].shape == (1, 1, 7)
+        assert np.abs(inputs["proprios"]).max() <= 1.0  # bound-normalized
+
+
+class TestEDRAdapter:
+    def test_proprio_quat_roll_and_closedness(self):
+        a = _adapter(ea.EDRSimplerAdapter)
+        obs = {"agent": {"eef_pos": np.array([1, 2, 3, 0.5, 0.1, 0.2, 0.3, 0.8])}}
+        p = a.preprocess_proprio(obs)
+        np.testing.assert_allclose(p[3:7], [0.1, 0.2, 0.3, 0.5])  # wxyz -> xyzw
+        np.testing.assert_allclose(p[-1], 0.2)  # closedness = 1 - width
+
+    def test_sticky_gripper_machine(self):
+        a = _adapter(ea.EDRSimplerAdapter)
+        a.reset()
+        # action 0.0 (close command): relative = -(0*2-1) = 1 -> sticky on
+        first = a.postprocess_gripper(0.0)
+        assert first == 1.0 and a.sticky_action_is_on
+        # subsequent conflicting commands keep repeating the sticky action
+        for i in range(ea.EDRSimplerAdapter.STICKY_NUM_REPEAT - 1):
+            assert a.postprocess_gripper(1.0) == 1.0
+        # machine resets after STICKY_NUM_REPEAT repeats
+        assert not a.sticky_action_is_on
+        assert a.gripper_action_repeat == 0
+        # neutral command (0.5 -> relative 0) does not trigger sticky
+        a.reset()
+        assert a.postprocess_gripper(0.5) == 0.0
+        assert not a.sticky_action_is_on
+
+    def test_reset_clears_state(self):
+        a = _adapter(ea.EDRSimplerAdapter)
+        a.postprocess_gripper(0.0)
+        a.reset()
+        assert not a.sticky_action_is_on and a.gripper_action_repeat == 0
+
+
+def test_make_adapter_dispatch():
+    a = ea.make_adapter(
+        "bridge",
+        dataset_statistics_path=STATS_PATH,
+        num_image_tokens=4,
+        image_size=(28, 28),
+        max_seq_len=12,
+        tokenizer=FakeTokenizer(image_token_id=500),
+    )
+    assert isinstance(a, ea.BridgeSimplerAdapter)
+    with pytest.raises(ValueError):
+        ea.make_adapter("nope")
+
+
+# --------------------------------------------------------------------------- #
+# Synthetic RLDS bridge dataset (same layout as tests/test_data_pipeline.py)
+# --------------------------------------------------------------------------- #
+
+
+def _bridge_leaves(img_hw=32):
+    return [
+        rlds.LeafSpec("steps/observation/image_0", "uint8", (img_hw, img_hw, 3), "image", True, "jpeg"),
+        rlds.LeafSpec("steps/observation/state", "float32", (7,), "tensor", True),
+        rlds.LeafSpec("steps/action", "float32", (7,), "tensor", True),
+        rlds.LeafSpec("steps/language_instruction", "string", (), "text", True),
+        rlds.LeafSpec("episode_metadata/file_path", "string", (), "text", False),
+    ]
+
+
+def _make_episode(rng, T, img_hw=32):
+    imgs = rng.integers(0, 255, size=(T, img_hw, img_hw, 3), dtype=np.uint8)
+    return {
+        "steps": {
+            "observation": {
+                "image_0": [tf.io.encode_jpeg(x).numpy() for x in imgs],
+                "state": rng.normal(size=(T, 7)).astype(np.float32),
+            },
+            "action": rng.uniform(-0.5, 0.5, size=(T, 7)).astype(np.float32),
+            "language_instruction": [b"pick up the spoon"] * T,
+        },
+        "episode_metadata": {"file_path": b"/tmp/ep"},
+    }
+
+
+@pytest.fixture(scope="module")
+def bridge_dir(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    d = str(tmp_path_factory.mktemp("rlds_agents") / "bridge_dataset")
+    eps = [_make_episode(rng, T) for T in [10, 8, 12, 9]]
+    rlds.write_rlds_dataset(d, "bridge_dataset", eps, _bridge_leaves(), shards=2)
+    return os.path.dirname(d)
+
+
+def _data_cfg(bridge_dir):
+    return ConfigDict(
+        {
+            "dataset_mix": "bridge",
+            "data_path": bridge_dir,
+            "split": "train",
+            "window_size": 1,
+            "action_horizon": 4,
+            "skip_unlabeled": True,
+            "load_proprio": True,
+            "shuffle_buffer_size": 64,
+            "num_parallel_calls": 2,
+            "traj_transform_threads": 1,
+            "traj_read_threads": 1,
+            "resize_size": [28, 28],
+        }
+    )
+
+
+def test_interleaved_dataset_wrapper(bridge_dir):
+    ds = RLDSInterleavedDataset(_data_cfg(bridge_dir), train=True)
+    batch = next(ds.iterator(4, shard_per_process=False))
+    img = batch["observation"]["image_primary"]
+    assert img.shape[0] == 4 and img.shape[-3:] == (28, 28, 3)
+    assert batch["action"].shape[-2:] == (4, 7)
+    assert np.abs(batch["action"][..., :-1]).max() <= 1.0  # bound-normalized
+    assert batch["observation"]["proprio"].shape[-1] == 7
+
+
+# --------------------------------------------------------------------------- #
+# TrainAgent end-to-end smoke (tiny model, 2 updates, checkpoint, resume)
+# --------------------------------------------------------------------------- #
+
+
+def _tiny_train_cfg(bridge_dir, tmp_path, **over):
+    cfg = {
+        "name": "tiny",
+        "seed": 0,
+        "log_dir": str(tmp_path / "log"),
+        "load_pretrained_weights": False,
+        "n_updates": 2,
+        "log_freq": 1,
+        "save_model_freq": 2,
+        "save_model_start": 0,
+        "eval_freq": 2,
+        "eval_size": 4,
+        "global_batch_size": 16,
+        "per_device_batch_size": 1,  # 8 devices -> grad_accum = 2
+        "action_lr": 1e-4,
+        "vlm_lr": 1e-4,
+        "use_ema": True,
+        "ema_start": 0,
+        # tiny geometry (mirrors config.tiny_pizero_config)
+        "vocab_size": 10000,
+        "image_token_index": 500,
+        "pad_token_id": 0,
+        "max_image_text_tokens": 12,
+        "max_seq_len": 12,
+        "cond_steps": 1,
+        "horizon_steps": 4,
+        "action_dim": 7,
+        "proprio_dim": 7,
+        "num_inference_steps": 2,
+        "time_hidden_size": 32,
+        "mixture": {
+            "vlm": {"hidden_size": 64, "intermediate_size": 128, "cache": True,
+                    "rope_theta": 10000.0},
+            "proprio": {"hidden_size": 32, "intermediate_size": 64, "cache": True,
+                        "use_final_norm": True, "rope_theta": 100.0},
+            "action": {"hidden_size": 32, "intermediate_size": 64,
+                       "use_final_norm": True, "rope_theta": 100.0},
+        },
+        "vision": {"config": {
+            "hidden_size": 32, "intermediate_size": 64, "num_hidden_layers": 2,
+            "num_attention_heads": 4, "image_size": 28, "patch_size": 14,
+            "num_image_tokens": 4,
+        }},
+        "vision_projector": {"config": {"vision_config": {"projection_dim": 64}}},
+        "joint": {"config": {
+            "num_hidden_layers": 2, "num_attention_heads": 4,
+            "num_key_value_heads": 1, "head_dim": 16,
+        }},
+        "data": {
+            "train": dict(_data_cfg(bridge_dir)),
+            "val": {"split": "train", "shuffle_buffer_size": 8},
+        },
+    }
+    cfg.update(over)
+    return ConfigDict(cfg)
+
+
+@pytest.mark.slow
+def test_train_agent_end_to_end(bridge_dir, tmp_path):
+    from open_pi_zero_tpu.agents.train import TrainAgent
+
+    cfg = _tiny_train_cfg(bridge_dir, tmp_path)
+    agent = TrainAgent(cfg)
+    assert agent.grad_accum == 2  # 16 / (1 * 8 devices)
+    state = agent.run()
+    assert int(state.step) == 2
+
+    ckpt = os.path.join(agent.ckpt_dir, "ckpt_2")
+    assert os.path.isdir(ckpt)
+
+    # resume from the checkpoint and take one more step
+    cfg2 = _tiny_train_cfg(
+        bridge_dir, tmp_path, resume_checkpoint_path=ckpt, n_updates=3
+    )
+    agent2 = TrainAgent(cfg2)
+    assert int(agent2.state.step) == 2
+    state2 = agent2.run()
+    assert int(state2.step) == 3
+
+
+# --------------------------------------------------------------------------- #
+# EvalAgent loop against a fake environment
+# --------------------------------------------------------------------------- #
+
+
+class FakeEnv:
+    """Minimal maniskill-like episode protocol: truncates every 6 steps,
+    succeeds on even episodes."""
+
+    def __init__(self):
+        self.episode = -1
+        self.t = 0
+
+    def reset(self, seed=None, options=None):
+        self.episode += 1
+        self.t = 0
+        return self._obs(), {}
+
+    def _obs(self):
+        return {"agent": {"eef_pos": np.array([0.1, 0.2, 0.3, 1, 0, 0, 0, 0.5])}}
+
+    def step(self, action):
+        assert action.shape == (7,)
+        self.t += 1
+        truncated = self.t >= 6
+        success = truncated and (self.episode % 2 == 0)
+        return self._obs(), 0.0, success, truncated, {}
+
+    def get_language_instruction(self):
+        return "put the spoon on the towel"
+
+
+@pytest.mark.slow
+def test_eval_agent_loop(tmp_path, monkeypatch):
+    from open_pi_zero_tpu.agents.eval import EvalAgent
+    from open_pi_zero_tpu.config import tiny_pizero_config
+    from open_pi_zero_tpu.models import pizero
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    monkeypatch.setattr(ea, "_get_simpler_image", lambda env, obs: img)
+
+    cfg = ConfigDict(
+        {
+            "seed": 0,
+            "log_dir": str(tmp_path / "eval"),
+            "n_eval_episode": 4,
+            "n_video": 0,
+            "record_video": False,
+            "act_steps": 4,
+            "horizon_steps": 4,
+            "num_inference_steps": 2,
+            "max_image_text_tokens": 12,
+            "image_token_index": 500,
+            "vocab_size": 10000,
+            "time_hidden_size": 32,
+            "mixture": {
+                "vlm": {"hidden_size": 64, "intermediate_size": 128, "cache": True,
+                        "rope_theta": 10000.0},
+                "proprio": {"hidden_size": 32, "intermediate_size": 64, "cache": True,
+                            "use_final_norm": True, "rope_theta": 100.0},
+                "action": {"hidden_size": 32, "intermediate_size": 64,
+                           "use_final_norm": True, "rope_theta": 100.0},
+            },
+            "vision": {"config": {
+                "hidden_size": 32, "intermediate_size": 64, "num_hidden_layers": 2,
+                "num_attention_heads": 4, "image_size": 28, "patch_size": 14,
+                "num_image_tokens": 4,
+            }},
+            "vision_projector": {"config": {"vision_config": {"projection_dim": 64}}},
+            "joint": {"config": {
+                "num_hidden_layers": 2, "num_attention_heads": 4,
+                "num_key_value_heads": 1, "head_dim": 16,
+            }},
+        }
+    )
+    model_cfg = tiny_pizero_config(
+        vocab_size=10000, max_image_text_tokens=12, num_inference_steps=2
+    )
+    params = pizero.init_params(jax.random.key(0), model_cfg)
+
+    agent = EvalAgent(cfg, env=FakeEnv(), adapter=_adapter(), params=params)
+    result = agent.run()
+    assert result["n_episodes"] == 4
+    assert result["success_rate"] == 0.5  # even episodes succeed
+    assert result["mean_inference_time_s"] is not None
