@@ -214,6 +214,11 @@ class MixtureConfig:
     adaptive_mode: Optional[str] = None  # None | "adaLN" | "adaLN-Zero"
     use_lora: bool = False
     use_quantize: bool = False
+    lora: LoraConfig = field(default_factory=LoraConfig)
+
+    @property
+    def lora_scaling(self) -> float:
+        return (self.lora.alpha / self.lora.r) if self.lora.alpha else 1.0
 
 
 @dataclass(frozen=True)
@@ -358,6 +363,11 @@ def pizero_config_from_dict(cfg: ConfigDict) -> PiZeroConfig:
                 adaptive_mode=m.get("adaptive_mode", None) or None,
                 use_lora=bool(m.get("use_lora", False)),
                 use_quantize=bool(m.get("use_quantize", False)),
+                lora=LoraConfig(
+                    r=int(cfg.get("lora_r", 32)),
+                    alpha=cfg.get("lora_alpha"),
+                    dropout=float(cfg.get("lora_dropout", 0.0)),
+                ),
             )
         )
     joint = JointConfig(

@@ -118,8 +118,8 @@ def _layer(
         lp = lps[n]
         h = mx.norm(lp["input_norm"], mcfg, eps, hiddens[n], time_conds.get(n))
         normed[n] = h
-        q = mx.q_proj(lp["attn"], cfg, h)
-        k, v = mx.kv_proj(lp["attn"], cfg, h)
+        q = mx.q_proj(lp["attn"], cfg, h, mcfg.lora_scaling)
+        k, v = mx.kv_proj(lp["attn"], cfg, h, mcfg.lora_scaling)
         cos, sin = ropes[n]
         qs[n], ks[n] = mx.rope_qk(q, k, cos, sin)
         vs[n] = v
@@ -146,11 +146,11 @@ def _layer(
         mcfg = cfg.mixture(n)
         lp = lps[n]
         tc = time_conds.get(n)
-        o = mx.o_proj(lp["attn"], attn_per[n])
+        o = mx.o_proj(lp["attn"], attn_per[n], mcfg.lora_scaling)
         o = mx.adaptive_scale(lp, mcfg, "post_scale", o, tc)
         x = hiddens[n] + o
         h = mx.norm(lp["post_norm"], mcfg, eps, x, tc)
-        h = mx.mlp(lp["mlp"], h)
+        h = mx.mlp(lp["mlp"], h, mcfg.lora_scaling)
         h = mx.adaptive_scale(lp, mcfg, "final_scale", h, tc)
         out[n] = x + h
     return out, ((k_new, v_new) if collect_kv else None)
@@ -252,7 +252,7 @@ def joint_prefill(
         h = mx.norm(
             lp["input_norm"], mcfg, cfg.rms_norm_eps, hiddens[n], time_conds.get(n)
         )
-        k, v = mx.kv_proj(lp["attn"], cfg, h)
+        k, v = mx.kv_proj(lp["attn"], cfg, h, mcfg.lora_scaling)
         cos, sin = ropes[n]
         _, k = mx.rope_qk(k, k, cos, sin)  # rope applied to K only
         ks.append(k)
@@ -340,17 +340,17 @@ def joint_text_forward(
         hidden = carry
         lp, k_c, v_c = xs
         h = mx.norm(lp["input_norm"], mcfg, eps, hidden, None)
-        q = mx.q_proj(lp["attn"], cfg, h)
-        k, v = mx.kv_proj(lp["attn"], cfg, h)
+        q = mx.q_proj(lp["attn"], cfg, h, mcfg.lora_scaling)
+        k, v = mx.kv_proj(lp["attn"], cfg, h, mcfg.lora_scaling)
         q, k = mx.rope_qk(q, k, cos, sin)
         k_c = jax.lax.dynamic_update_slice(k_c, k, (0, offset, 0, 0))
         v_c = jax.lax.dynamic_update_slice(v_c, v, (0, offset, 0, 0))
         attn = mot_attention(q, k_c, v_c, mask, cfg.attn_softclamp)
         b, lq = attn.shape[:2]
         attn = attn.reshape(b, lq, cfg.num_attention_heads * cfg.head_dim)
-        x = hidden + mx.o_proj(lp["attn"], attn)
+        x = hidden + mx.o_proj(lp["attn"], attn, mcfg.lora_scaling)
         h = mx.norm(lp["post_norm"], mcfg, eps, x, None)
-        hidden = x + mx.mlp(lp["mlp"], h)
+        hidden = x + mx.mlp(lp["mlp"], h, mcfg.lora_scaling)
         return hidden, (k_c, v_c)
 
     hidden, (k_cache, v_cache) = jax.lax.scan(body, hidden, (stacked, k_cache, v_cache))

@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from open_pi_zero_tpu.config import JointConfig, MixtureConfig
+from open_pi_zero_tpu.ops import lora as lora_lib
 from open_pi_zero_tpu.ops.norms import (
     adaptive_layerscale,
     adaptive_rms_norm,
@@ -90,6 +91,20 @@ def init_mixture_params(
             "down": _stacked_kernel(next(keys), L, I, D, dtype),
         },
     }
+    if mix.use_lora:
+        # adapters next to every projection kernel (reference applies the
+        # LoRA-aware get_layer factory to q/k/v/o and the MLP, lora.py:83-100)
+        r = mix.lora.r
+        dims = {
+            "attn": {"q": (D, Hq * Dh), "k": (D, Hkv * Dh), "v": (D, Hkv * Dh),
+                     "o": (Hq * Dh, D)},
+            "mlp": {"gate": (D, I), "up": (D, I), "down": (I, D)},
+        }
+        for group, named in dims.items():
+            for n, (din, dout) in named.items():
+                layers[group][f"{n}_lora"] = lora_lib.lora_init(
+                    next(keys), din, dout, r, dtype, stack=L
+                )
     if mix.adaptive_mode == "adaLN-Zero":
         # zero-init kernel, bias -2 (reference modules.py:102-113)
         for name in ("post_scale", "final_scale"):
@@ -137,35 +152,35 @@ def adaptive_scale(
     return adaptive_layerscale(x, time_cond, p["kernel"], p["bias"])
 
 
-def q_proj(lp_attn: dict, joint: JointConfig, x: jax.Array) -> jax.Array:
+def q_proj(
+    lp_attn: dict, joint: JointConfig, x: jax.Array, scaling: float = 1.0
+) -> jax.Array:
     b, s, _ = x.shape
-    q = jnp.einsum("bsd,do->bso", x, lp_attn["q"], preferred_element_type=jnp.float32)
-    return q.astype(x.dtype).reshape(b, s, joint.num_attention_heads, joint.head_dim)
+    q = lora_lib.proj(lp_attn, "q", x, scaling)
+    return q.reshape(b, s, joint.num_attention_heads, joint.head_dim)
 
 
 def kv_proj(
-    lp_attn: dict, joint: JointConfig, x: jax.Array
+    lp_attn: dict, joint: JointConfig, x: jax.Array, scaling: float = 1.0
 ) -> Tuple[jax.Array, jax.Array]:
     b, s, _ = x.shape
-    k = jnp.einsum("bsd,do->bso", x, lp_attn["k"], preferred_element_type=jnp.float32)
-    v = jnp.einsum("bsd,do->bso", x, lp_attn["v"], preferred_element_type=jnp.float32)
+    k = lora_lib.proj(lp_attn, "k", x, scaling)
+    v = lora_lib.proj(lp_attn, "v", x, scaling)
     shape = (b, s, joint.num_key_value_heads, joint.head_dim)
-    return k.astype(x.dtype).reshape(shape), v.astype(x.dtype).reshape(shape)
+    return k.reshape(shape), v.reshape(shape)
 
 
-def o_proj(lp_attn: dict, x: jax.Array) -> jax.Array:
+def o_proj(lp_attn: dict, x: jax.Array, scaling: float = 1.0) -> jax.Array:
     """x: [B, S, Hq*Dh] -> [B, S, D]."""
-    out = jnp.einsum("bso,od->bsd", x, lp_attn["o"], preferred_element_type=jnp.float32)
-    return out.astype(x.dtype)
+    return lora_lib.proj(lp_attn, "o", x, scaling)
 
 
-def mlp(lp_mlp: dict, x: jax.Array) -> jax.Array:
+def mlp(lp_mlp: dict, x: jax.Array, scaling: float = 1.0) -> jax.Array:
     """geglu: down(gelu_tanh(gate(x)) * up(x)) — reference paligemma/modules.py:70-95."""
-    gate = jnp.einsum("bsd,di->bsi", x, lp_mlp["gate"], preferred_element_type=jnp.float32)
-    up = jnp.einsum("bsd,di->bsi", x, lp_mlp["up"], preferred_element_type=jnp.float32)
-    h = (jax.nn.gelu(gate, approximate=True) * up).astype(x.dtype)
-    out = jnp.einsum("bsi,id->bsd", h, lp_mlp["down"], preferred_element_type=jnp.float32)
-    return out.astype(x.dtype)
+    gate = lora_lib.proj(lp_mlp, "gate", x, scaling)
+    up = lora_lib.proj(lp_mlp, "up", x, scaling)
+    h = (jax.nn.gelu(gate.astype(jnp.float32), approximate=True).astype(x.dtype) * up)
+    return lora_lib.proj(lp_mlp, "down", h, scaling)
 
 
 def rope_qk(

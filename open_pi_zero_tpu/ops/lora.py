@@ -1,0 +1,180 @@
+"""LoRA adapters + int8 base-weight quantization, functional style.
+
+Reference semantics (src/model/lora.py:83-360): a frozen base Linear plus a
+trainable low-rank update `scaling * B @ A`, with A kaiming-uniform / B
+zero init so training starts at the base function; `get_layer(quantize,
+lora)` selects plain / LoRA / 4-bit / LoRA-4-bit variants; eval merges the
+delta into the base weight.
+
+TPU-native re-design:
+  - adapters are extra pytree leaves (`<name>_lora: {a, b}`) living next to
+    each base kernel (stacked [L, ...] like everything else, so they ride
+    the same lax.scan) — no module classes, no train/eval mutation;
+  - "merge" is a pure tree-to-tree transform (`merge_lora`) producing fused
+    kernels for serving; the reference's stateful merge/unmerge toggle
+    disappears;
+  - the quantized base is blockless per-channel symmetric int8
+    ({q: int8 [in,out], scale: f32 [out]}), dequantized on the fly — XLA
+    fuses the dequant multiply into the matmul epilogue (stand-in for the
+    bnb NF4 CUDA kernels, SURVEY.md §2.5);
+  - trainability = an optax mask from `lora_label_fn`, not requires_grad.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from open_pi_zero_tpu.ops.quantization import quantize_int8_rowwise
+
+
+def lora_init(
+    key: jax.Array, in_dim: int, out_dim: int, r: int, dtype=jnp.float32, stack: int = 0
+) -> dict:
+    """A ~ U(+-1/sqrt(in_dim)) (torch kaiming_uniform(a=sqrt(5)) on a
+    [r, in] matrix), B = 0."""
+    bound = 1.0 / (in_dim**0.5)
+    a_shape = (stack, in_dim, r) if stack else (in_dim, r)
+    b_shape = (stack, r, out_dim) if stack else (r, out_dim)
+    return {
+        "a": jax.random.uniform(key, a_shape, dtype, -bound, bound),
+        "b": jnp.zeros(b_shape, dtype),
+    }
+
+
+def lora_delta(x: jax.Array, lora: dict, scaling: float) -> jax.Array:
+    """scaling * (x @ A) @ B, accumulated fp32. x [..., in] -> [..., out]."""
+    h = jnp.einsum("...i,ir->...r", x, lora["a"], preferred_element_type=jnp.float32)
+    out = jnp.einsum(
+        "...r,ro->...o", h.astype(x.dtype), lora["b"],
+        preferred_element_type=jnp.float32,
+    )
+    return out * scaling
+
+
+def base_matmul(x: jax.Array, w, spec: str = "...i,io->...o") -> jax.Array:
+    """Matmul against a plain kernel or an int8-quantized {q, scale} dict,
+    fp32 accumulation (dequant scale applied per output channel)."""
+    if isinstance(w, dict) and "q" in w:
+        out = jnp.einsum(
+            spec, x, w["q"].astype(x.dtype), preferred_element_type=jnp.float32
+        )
+        return out * w["scale"].astype(jnp.float32)
+    return jnp.einsum(spec, x, w, preferred_element_type=jnp.float32)
+
+
+def proj(lp: dict, name: str, x: jax.Array, scaling: float = 1.0) -> jax.Array:
+    """LoRA/quantization-aware projection (the functional `get_layer`):
+    base matmul + optional `<name>_lora` delta. Returns fp32 accumulation
+    cast back to x.dtype."""
+    out = base_matmul(x, lp[name])
+    lora = lp.get(f"{name}_lora")
+    if lora is not None:
+        out = out + lora_delta(x, lora, scaling)
+    return out.astype(x.dtype)
+
+
+# --------------------------------------------------------------------------- #
+# Tree transforms
+# --------------------------------------------------------------------------- #
+
+
+def _walk(tree, path=()):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _walk(v, path + (k,))
+    else:
+        yield path, tree
+
+
+def merge_lora(params, scaling: float = 1.0):
+    """Fold every `<name>_lora` adapter into its base kernel and drop the
+    adapter (serving-time merge, reference LoRALinear.train(False)).
+    Quantized bases are dequantized to float first."""
+
+    def merge_dict(d: dict) -> dict:
+        out = {}
+        for k, v in d.items():
+            if k.endswith("_lora"):
+                continue
+            if isinstance(v, dict) and "a" not in v:
+                v = merge_dict(v)
+            lora = d.get(f"{k}_lora")
+            if lora is not None:
+                base = v
+                if isinstance(base, dict) and "q" in base:
+                    base = base["q"].astype(jnp.float32) * base["scale"]
+                delta = scaling * jnp.einsum(
+                    "...ir,...ro->...io", lora["a"].astype(jnp.float32),
+                    lora["b"].astype(jnp.float32),
+                )
+                v = (base.astype(jnp.float32) + delta).astype(lora["a"].dtype)
+            out[k] = v
+        return out
+
+    return merge_dict(params)
+
+
+QUANTIZE_KEYS = ("q", "k", "v", "o", "gate", "up", "down")
+
+
+def quantize_base_weights(tree, keys=QUANTIZE_KEYS):
+    """Replace matching 2-D/3-D float kernels with {q: int8, scale} dicts
+    (per output channel; stacked [L, in, out] kernels are quantized
+    per-(layer, channel)). Apply AFTER loading pretrained weights."""
+
+    def q(w):
+        if w.ndim == 2:
+            qv, s = quantize_int8_rowwise(w)
+            return {"q": qv, "scale": s}
+        qs = [quantize_int8_rowwise(w[i]) for i in range(w.shape[0])]
+        return {
+            "q": jnp.stack([x[0] for x in qs]),
+            "scale": jnp.stack([x[1] for x in qs]),
+        }
+
+    def walk(d):
+        if not isinstance(d, dict):
+            return d
+        out = {}
+        for k, v in d.items():
+            if k in keys and not isinstance(v, dict) and v is not None and v.ndim >= 2:
+                out[k] = q(v)
+            else:
+                out[k] = walk(v)
+        return out
+
+    return walk(tree)
+
+
+def lora_label_fn(params, lora_label: str = "lora", base_label: str = "frozen"):
+    """optax.multi_transform label tree: adapters trainable, base frozen
+    (reference mark_only_lora_as_trainable, lora.py:366+)."""
+
+    def walk(d, in_lora):
+        if isinstance(d, dict):
+            return {k: walk(v, in_lora or k.endswith("_lora")) for k, v in d.items()}
+        return lora_label if in_lora else base_label
+
+    return walk(params, False)
+
+
+def extract_lora(params):
+    """Subtree containing only the adapters (reference lora_state_dict)."""
+
+    def walk(d):
+        if not isinstance(d, dict):
+            return None
+        out = {}
+        for k, v in d.items():
+            if k.endswith("_lora"):
+                out[k] = v
+            else:
+                sub = walk(v)
+                if sub:
+                    out[k] = sub
+        return out
+
+    return walk(params) or {}

@@ -1,0 +1,183 @@
+"""LoRA + int8 quantization: zero-init equivalence, delta math golden,
+merge == unmerged forward, label/extract tree transforms, quantized-base
+accuracy, and an end-to-end model check (LoRA-enabled vlm mixture leaves
+the function unchanged at init; merge_lora reproduces trained adapters)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from open_pi_zero_tpu.config import (
+    LoraConfig,
+    MixtureConfig,
+    dataclass_replace,
+    tiny_pizero_config,
+)
+from open_pi_zero_tpu.models import pizero
+from open_pi_zero_tpu.ops import lora as lora_lib
+
+
+def test_lora_init_starts_at_identity():
+    key = jax.random.key(0)
+    lp = {"w": jax.random.normal(key, (8, 16)), "w_lora": lora_lib.lora_init(key, 8, 16, 4)}
+    x = jax.random.normal(jax.random.key(1), (3, 8))
+    np.testing.assert_allclose(
+        np.asarray(lora_lib.proj(lp, "w", x)),
+        np.asarray(x @ lp["w"]),
+        rtol=1e-6,
+    )
+
+
+def test_lora_delta_golden():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(8, 4)).astype(np.float32)
+    b = rng.normal(size=(4, 16)).astype(np.float32)
+    x = rng.normal(size=(2, 8)).astype(np.float32)
+    got = lora_lib.lora_delta(jnp.asarray(x), {"a": jnp.asarray(a), "b": jnp.asarray(b)}, 0.5)
+    np.testing.assert_allclose(np.asarray(got), 0.5 * x @ a @ b, rtol=1e-5)
+
+
+def test_merge_matches_unmerged_forward():
+    key = jax.random.key(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    lp = {
+        "w": jax.random.normal(k1, (8, 16)),
+        "w_lora": {
+            "a": jax.random.normal(k2, (8, 4)) * 0.1,
+            "b": jax.random.normal(k3, (4, 16)) * 0.1,
+        },
+    }
+    x = jax.random.normal(jax.random.key(4), (5, 8))
+    unmerged = lora_lib.proj(lp, "w", x, scaling=1.3)
+    merged = lora_lib.merge_lora(lp, scaling=1.3)
+    assert "w_lora" not in merged
+    np.testing.assert_allclose(
+        np.asarray(x @ merged["w"]), np.asarray(unmerged), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_merge_stacked_kernels():
+    key = jax.random.key(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    lp = {
+        "w": jax.random.normal(k1, (3, 8, 16)),  # [L, in, out]
+        "w_lora": {
+            "a": jax.random.normal(k2, (3, 8, 4)) * 0.1,
+            "b": jax.random.normal(k3, (3, 4, 16)) * 0.1,
+        },
+    }
+    merged = lora_lib.merge_lora(lp)
+    want = np.asarray(lp["w"]) + np.einsum(
+        "lir,lro->lio", np.asarray(lp["w_lora"]["a"]), np.asarray(lp["w_lora"]["b"])
+    )
+    np.testing.assert_allclose(np.asarray(merged["w"]), want, rtol=1e-5)
+
+
+def test_labels_and_extract():
+    params = {
+        "attn": {
+            "q": jnp.zeros((2, 2)),
+            "q_lora": {"a": jnp.zeros((2, 1)), "b": jnp.zeros((1, 2))},
+        },
+        "norm": {"weight": jnp.zeros((2,))},
+    }
+    labels = lora_lib.lora_label_fn(params)
+    assert labels["attn"]["q"] == "frozen"
+    assert labels["attn"]["q_lora"]["a"] == "lora"
+    assert labels["norm"]["weight"] == "frozen"
+    only = lora_lib.extract_lora(params)
+    assert list(only) == ["attn"] and list(only["attn"]) == ["q_lora"]
+
+    # the optax mask actually freezes base params
+    tx = optax.multi_transform(
+        {"lora": optax.sgd(1.0), "frozen": optax.set_to_zero()}, labels
+    )
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, tx.init(params), params)
+    assert float(jnp.sum(jnp.abs(updates["attn"]["q"]))) == 0.0
+    assert float(jnp.sum(jnp.abs(updates["attn"]["q_lora"]["a"]))) > 0.0
+
+
+def test_quantize_base_weights_roundtrip():
+    rng = np.random.default_rng(3)
+    tree = {"attn": {"q": jnp.asarray(rng.normal(size=(2, 16, 8)).astype(np.float32))}}
+    qt = lora_lib.quantize_base_weights(tree)
+    assert qt["attn"]["q"]["q"].dtype == jnp.int8
+    deq = np.asarray(qt["attn"]["q"]["q"], np.float32) * np.asarray(
+        qt["attn"]["q"]["scale"]
+    )[:, None, :]
+    np.testing.assert_allclose(deq, np.asarray(tree["attn"]["q"]), atol=2e-2)
+    # projection path accepts the quantized dict
+    x = jnp.asarray(rng.normal(size=(1, 4, 16)).astype(np.float32))
+    out = lora_lib.proj({"q": {"q": qt["attn"]["q"]["q"][0], "scale": qt["attn"]["q"]["scale"][0]}}, "q", x)
+    want = np.asarray(x) @ np.asarray(tree["attn"]["q"])[0]
+    np.testing.assert_allclose(np.asarray(out), want, atol=5e-2, rtol=5e-2)
+
+
+def _lora_cfg():
+    cfg = tiny_pizero_config()
+    mixtures = tuple(
+        dataclass_replace(m, use_lora=(i == 0), lora=LoraConfig(r=2))
+        for i, m in enumerate(cfg.joint.mixtures)
+    )
+    return dataclass_replace(cfg, joint=dataclass_replace(cfg.joint, mixtures=mixtures))
+
+
+class TestModelWithLora:
+    def test_init_preserves_function(self):
+        """B=0 at init: LoRA-enabled model == plain model given same base."""
+        cfg_plain = tiny_pizero_config()
+        cfg_lora = _lora_cfg()
+        params_l = pizero.init_params(jax.random.key(0), cfg_lora)
+        # strip adapters -> same base tree as plain init with same key
+        def strip(d):
+            return {
+                k: strip(v) if isinstance(v, dict) else v
+                for k, v in d.items()
+                if not k.endswith("_lora")
+            }
+
+        rng = jax.random.key(1)
+        ids = jnp.zeros((1, cfg_plain.max_image_text_tokens), jnp.int32)
+        ids = ids.at[:, : cfg_plain.siglip.num_image_tokens].set(cfg_plain.image_token_index)
+        ids = ids.at[:, cfg_plain.siglip.num_image_tokens].set(2)
+        am = (ids != 0).astype(jnp.int32)
+        img = jnp.zeros((1, 28, 28, 3))
+        prop = jnp.ones((1, 1, cfg_plain.proprio_dim)) * 0.1
+
+        out_lora = pizero.infer_action(params_l, cfg_lora, rng, ids, img, am, prop)
+        out_plain = pizero.infer_action(strip(params_l), cfg_plain, rng, ids, img, am, prop)
+        np.testing.assert_allclose(
+            np.asarray(out_lora), np.asarray(out_plain), rtol=1e-5, atol=1e-6
+        )
+
+    def test_trained_adapter_changes_output_and_merges(self):
+        cfg = _lora_cfg()
+        params = pizero.init_params(jax.random.key(0), cfg)
+        # fake "trained" adapters: perturb every b
+        def bump(d):
+            for k, v in d.items():
+                if k.endswith("_lora"):
+                    v["b"] = jax.random.normal(jax.random.key(7), v["b"].shape) * 0.05
+                elif isinstance(v, dict):
+                    bump(v)
+        bump(params)
+
+        rng = jax.random.key(1)
+        ids = jnp.zeros((1, cfg.max_image_text_tokens), jnp.int32)
+        ids = ids.at[:, : cfg.siglip.num_image_tokens].set(cfg.image_token_index)
+        am = (ids != 0).astype(jnp.int32)
+        img = jnp.zeros((1, 28, 28, 3))
+        prop = jnp.ones((1, 1, cfg.proprio_dim)) * 0.1
+
+        out = pizero.infer_action(params, cfg, rng, ids, img, am, prop)
+        merged_params = lora_lib.merge_lora(params)
+        cfg_plain = tiny_pizero_config()
+        out_merged = pizero.infer_action(
+            merged_params, cfg_plain, rng, ids, img, am, prop
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(out_merged), rtol=1e-4, atol=1e-5
+        )
