@@ -183,6 +183,15 @@ def parse_split(split: str, total: int) -> Tuple[str, int, int]:
     return name, bound(a, 0), bound(b, total)
 
 
+def use_native_reader() -> bool:
+    """Opt into the C++ TFRecord ingest (OPZ_NATIVE_READER=1). Off by
+    default: tf.data's parallel-interleaved reads are already native C++,
+    and from_generator serializes ingest through one Python thread — the
+    opz_io reader is for TF-less ingest paths and benchmarking, not a
+    default win."""
+    return os.environ.get("OPZ_NATIVE_READER", "0") == "1"
+
+
 def shard_files(data_dir: str, spec: DatasetSpec, split_name: str) -> List[str]:
     n = len(spec.splits[split_name])
     return [
@@ -205,7 +214,28 @@ def episode_dataset(
     base = split.split("[")[0]
     name, start, end = parse_split(split, spec.num_episodes(base))
     files = shard_files(data_dir, spec, name)
-    ds = tf.data.TFRecordDataset(files, num_parallel_reads=num_parallel_reads)
+    if use_native_reader():
+        # record ingest via the C++ opz_io reader (crc-verified, threaded
+        # prefetch) instead of tf.data's TFRecordDataset; the rest of the
+        # pipeline stays tf.data
+        from open_pi_zero_tpu.data import native_io
+
+        n_threads = 4 if num_parallel_reads == tf.data.AUTOTUNE else max(
+            1, int(num_parallel_reads)
+        )
+        if start or end < spec.num_episodes(name):
+            # subrange splits index episodes by stream position: keep the
+            # shard order deterministic (single reader thread)
+            n_threads = 1
+
+        def gen():
+            yield from native_io.TFRecordReader(files, num_threads=n_threads)
+
+        ds = tf.data.Dataset.from_generator(
+            gen, output_signature=tf.TensorSpec((), tf.string)
+        )
+    else:
+        ds = tf.data.TFRecordDataset(files, num_parallel_reads=num_parallel_reads)
     if start or end < spec.num_episodes(name):
         ds = ds.skip(start).take(end - start)
     if shuffle:
