@@ -55,14 +55,17 @@ def mot_attention_xla(
     group = hq // hkv
     qg = q.reshape(b, lq, hkv, group, d)
 
-    # precision=highest: on TPU, fp32 einsums otherwise decompose to bf16
-    # multiplies; for bf16 inputs this is the native MXU path either way.
+    # fp32 inputs: HIGHEST stops XLA:TPU from decomposing the fp32 einsum
+    # into bf16 multiplies (needed for golden tests). bf16 inputs: DEFAULT —
+    # HIGHEST would force a 3-pass multiply, ~3x slower on the MXU for no
+    # extra accuracy (accumulation is already fp32 via preferred_element_type).
+    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
     scores = jnp.einsum(
         "bqhgd,bkhd->bhgqk",
         qg,
         k,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )  # [B, Hkv, G, Lq, Lkv] fp32
     scores = scores * (1.0 / (d**0.5))
     if softcap is not None:
@@ -75,7 +78,7 @@ def mot_attention_xla(
         probs,
         v,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     ).astype(q.dtype)
     return out.reshape(b, lq, hq, d)
 
@@ -90,12 +93,13 @@ def mha_attention(
     reference src/model/paligemma/siglip.py:108-166). fp32 softmax."""
     d = q.shape[-1]
     scale = scale if scale is not None else 1.0 / (d**0.5)
+    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
     scores = jnp.einsum(
         "bqhd,bkhd->bhqk",
         q,
         k,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )
     scores = scores * scale
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
@@ -104,6 +108,6 @@ def mha_attention(
         probs,
         v,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )
     return out.astype(q.dtype)
