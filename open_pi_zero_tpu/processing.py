@@ -153,3 +153,57 @@ class FakeTokenizer:
             ids[i, : len(r)] = r
             mask[i, : len(r)] = 1
         return {"input_ids": ids, "attention_mask": mask}
+
+
+class PaliGemmaProcessor:
+    """PIL/bicubic single-image variant for PaliGemma text-generation smoke
+    runs (reference src/model/paligemma/processing.py:1-158). Same prompt
+    layout as VLAProcessor; images resized with PIL bicubic, rescaled to
+    [0,1], normalized (x-0.5)/0.5, kept NHWC for the TPU model (the torch
+    reference transposes to NCHW)."""
+
+    def __init__(self, tokenizer, num_image_tokens: int, image_size: int):
+        self.image_seq_length = num_image_tokens
+        self.image_size = image_size
+        tokenizer.add_special_tokens({"additional_special_tokens": [IMAGE_TOKEN]})
+        tokenizer.add_tokens(
+            [f"<loc{i:04d}>" for i in range(1024)]
+            + [f"<seg{i:03d}>" for i in range(128)]
+        )
+        self.image_token_id = tokenizer.convert_tokens_to_ids(IMAGE_TOKEN)
+        tokenizer.add_bos_token = False
+        tokenizer.add_eos_token = False
+        self.tokenizer = tokenizer
+
+    def __call__(self, text: List[str], images) -> dict:
+        """images: list of PIL Images (or uint8 arrays)."""
+        from PIL import Image
+
+        assert len(images) == len(text) == 1, "single image+prompt only"
+        pil = [
+            im if isinstance(im, Image.Image) else Image.fromarray(np.asarray(im))
+            for im in images
+        ]
+        arr = np.stack(
+            [
+                np.asarray(
+                    im.resize(
+                        (self.image_size, self.image_size),
+                        resample=Image.Resampling.BICUBIC,
+                    )
+                )
+                for im in pil
+            ]
+        )
+        pixel_values = ((arr.astype(np.float32) / 255.0) - 0.5) / 0.5
+        strings = [
+            add_image_tokens_to_prompt(t, self.tokenizer.bos_token, self.image_seq_length)
+            for t in text
+        ]
+        enc = self.tokenizer(strings, return_tensors="np", max_length=None,
+                             padding="longest", truncation=False)
+        return {
+            "pixel_values": pixel_values,
+            "input_ids": np.asarray(enc["input_ids"], np.int32),
+            "attention_mask": np.asarray(enc["attention_mask"], np.int32),
+        }

@@ -74,3 +74,55 @@ class MainRankFilter(logging.Filter):
 
     def filter(self, record):
         return self.main_rank
+
+
+def main_process_only(func):
+    """Run only on host 0 of a multi-host job (reference main_rank_only,
+    src/utils/decorator.py:31-37; `NoSyncBase` has no JAX equivalent —
+    gradient accumulation lives inside the jitted step, so there is no
+    per-microbatch collective to suppress)."""
+
+    @functools.wraps(func)
+    def wrapper(*args, **kwargs):
+        import jax
+
+        if jax.process_index() == 0:
+            return func(*args, **kwargs)
+        return None
+
+    return wrapper
+
+
+class profile_trace:
+    """`jax.profiler` trace context (SURVEY.md §5: the reference only has
+    wall-clock decorators; on TPU a real trace is one context manager away).
+
+    with profile_trace("/tmp/opz_trace"):
+        step(...)
+    then: tensorboard --logdir /tmp/opz_trace  (or xprof)."""
+
+    def __init__(self, log_dir: str, create_perfetto_link: bool = False):
+        self.log_dir = log_dir
+        self.create_perfetto_link = create_perfetto_link
+
+    def __enter__(self):
+        import jax
+
+        jax.profiler.start_trace(
+            self.log_dir, create_perfetto_link=self.create_perfetto_link
+        )
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+
+        jax.profiler.stop_trace()
+        return False
+
+
+def annotate(name: str):
+    """Named region that shows up in profiler traces
+    (jax.profiler.TraceAnnotation wrapper)."""
+    import jax
+
+    return jax.profiler.TraceAnnotation(name)
