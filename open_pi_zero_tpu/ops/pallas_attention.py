@@ -184,7 +184,10 @@ def fused_attention_enabled() -> bool:
         return True
     if _FORCE == "0":
         return False
-    return jax.default_backend() == "tpu"
+    # auto: single-chip TPU only — pallas_call is opaque to the GSPMD
+    # partitioner, so multi-device pjit programs take the XLA einsum path
+    # (or wrap the model in shard_map and set OPZ_FUSED_ATTENTION=1)
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
 
 
 def fused_interpret_mode() -> bool:
