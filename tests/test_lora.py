@@ -181,3 +181,25 @@ class TestModelWithLora:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(out_merged), rtol=1e-4, atol=1e-5
         )
+
+
+def test_quantized_model_inference_close_to_float():
+    """int8 base weights flow through the full inference path (the QLoRA
+    serving configuration: quantized frozen base, reference lora.py:214-360)."""
+    cfg = tiny_pizero_config()
+    params = pizero.init_params(jax.random.key(0), cfg)
+    qparams = dict(params)
+    qparams["joint"] = lora_lib.quantize_base_weights(params["joint"])
+
+    rng = jax.random.key(1)
+    ids = jnp.zeros((1, cfg.max_image_text_tokens), jnp.int32)
+    ids = ids.at[:, : cfg.siglip.num_image_tokens].set(cfg.image_token_index)
+    am = (ids != 0).astype(jnp.int32)
+    img = jnp.zeros((1, 28, 28, 3))
+    prop = jnp.ones((1, 1, cfg.proprio_dim)) * 0.1
+
+    out_f = pizero.infer_action(params, cfg, rng, ids, img, am, prop)
+    out_q = pizero.infer_action(qparams, cfg, rng, ids, img, am, prop)
+    assert np.isfinite(np.asarray(out_q)).all()
+    # int8 per-channel quantization of random-init weights: loose but bounded
+    assert float(jnp.mean(jnp.abs(out_f - out_q))) < 0.15
