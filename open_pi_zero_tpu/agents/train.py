@@ -175,6 +175,14 @@ class TrainAgent:
         )
         return params
 
+    def _action_lr_at(self, update: int) -> float:
+        from open_pi_zero_tpu.training import schedules
+
+        sched = schedules.from_config(
+            self.train_cfg.action_lr, self.train_cfg.action_lr_scheduler
+        )
+        return float(sched(update))
+
     # ------------------------------------------------------------------ #
     def preprocess_batch(self, batch: dict) -> dict:
         """Frame batch (numpy, from the RLDS pipeline) -> model inputs
@@ -237,9 +245,7 @@ class TrainAgent:
 
             if update % self.log_freq == 0:
                 avg_loss = float(np.mean(losses[-self.log_freq:]))
-                lr = float(
-                    self.train_cfg.action_lr
-                )  # logged from config; schedule value is step-dependent
+                lr = float(self._action_lr_at(update))
                 elapsed = timer()
                 log.info(
                     "update %d/%d | loss %.4f | grad_norm %.3f | %.2fs/%d updates",
