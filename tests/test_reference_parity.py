@@ -1,0 +1,322 @@
+"""Numerical parity against the ACTUAL reference PyTorch modules.
+
+Imports the reference JointModel (/root/reference, read-only) on a tiny
+untied 3-mixture config, transfers its torch weights through our
+checkpoint converter, and asserts the fp32 training-mode forward matches
+our `joint_forward` — validating converter key mapping, Gemma norm/RoPE/
+softcap semantics, block-mask handling and embed scaling end-to-end
+against the source of truth (SURVEY.md §4: "golden-value parity tests
+against captured PyTorch activations").
+
+The reference's unused heavy deps (bitsandbytes CUDA, omegaconf) are
+stubbed — only the pure-torch compute path runs.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "src")), reason="reference not mounted"
+)
+
+
+def _install_stubs():
+    from open_pi_zero_tpu.config import ConfigDict
+
+    if "bitsandbytes" not in sys.modules:
+        bnb = types.ModuleType("bitsandbytes")
+        bnb_nn = types.ModuleType("bitsandbytes.nn")
+
+        class _Linear4bit:  # only subclassed, never instantiated here
+            pass
+
+        class _Params4bit:
+            pass
+
+        bnb_nn.Linear4bit = _Linear4bit
+        bnb_nn.Params4bit = _Params4bit
+        bnb.nn = bnb_nn
+        sys.modules["bitsandbytes"] = bnb
+        sys.modules["bitsandbytes.nn"] = bnb_nn
+
+    if "omegaconf" not in sys.modules:
+        om = types.ModuleType("omegaconf")
+
+        def _merge(a, b):
+            def deep(x, y):
+                out = dict(x)
+                for k, v in dict(y).items():
+                    if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+                        out[k] = deep(out[k], v)
+                    else:
+                        out[k] = v
+                return ConfigDict(
+                    {k: ConfigDict(v) if isinstance(v, dict) else v for k, v in out.items()}
+                )
+
+            return deep(a, b)
+
+        om.OmegaConf = type("OmegaConf", (), {"merge": staticmethod(_merge)})
+        sys.modules["omegaconf"] = om
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+
+
+GEOM = dict(
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=1,
+    head_dim=8,
+    rms_norm_eps=1e-6,
+    attention_bias=False,
+    attention_dropout=0.0,
+    time_hidden_size=16,
+)
+MIX = dict(
+    vlm=dict(hidden_size=32, intermediate_size=64, use_final_norm=False,
+             cache=True, use_quantize=False, use_lora=False, adaptive_mode=None,
+             rope_theta=10000.0),
+    proprio=dict(hidden_size=16, intermediate_size=32, use_final_norm=True,
+                 cache=True, use_quantize=False, use_lora=False, adaptive_mode=None,
+                 rope_theta=100.0),
+    action=dict(hidden_size=16, intermediate_size=32, use_final_norm=True,
+                cache=False, use_quantize=False, use_lora=False, adaptive_mode=None,
+                rope_theta=100.0),
+)
+LENS = dict(vlm=7, proprio=1, action=4)
+
+
+def _our_joint_config():
+    from open_pi_zero_tpu.config import JointConfig, MixtureConfig
+
+    mixtures = tuple(
+        MixtureConfig(
+            hidden_size=m["hidden_size"], intermediate_size=m["intermediate_size"],
+            use_final_norm=m["use_final_norm"], cache=m["cache"],
+            rope_theta=m["rope_theta"],
+        )
+        for m in MIX.values()
+    )
+    return JointConfig(
+        num_hidden_layers=GEOM["num_hidden_layers"],
+        num_attention_heads=GEOM["num_attention_heads"],
+        num_key_value_heads=GEOM["num_key_value_heads"],
+        head_dim=GEOM["head_dim"],
+        time_hidden_size=GEOM["time_hidden_size"],
+        mixtures=mixtures,
+        tie_proprio=False,  # the reference model has separate modules
+    )
+
+
+def _convert_ref_state(state, jcfg):
+    """Reference JointModel.state_dict() -> our joint params via the
+    production converter (models/convert.py)."""
+    from open_pi_zero_tpu.models import convert
+
+    tensors = {k: v.numpy() for k, v in state.items()}
+
+    class _C:  # convert_gemma_mixture only reads cfg.joint.num_hidden_layers
+        joint = jcfg
+
+    out = {"mixtures": {}}
+    for i, name in enumerate(("vlm", "proprio", "action")):
+        out["mixtures"][name] = convert.convert_gemma_mixture(
+            tensors, _C, prefix=f"mixtures.{name}.",
+            use_final_norm=jcfg.mixtures[i].use_final_norm,
+        )
+    return out
+
+
+@pytest.fixture(scope="module")
+def ref_and_ours():
+    _install_stubs()
+    import torch
+
+    from omegaconf import OmegaConf  # the stub
+    from open_pi_zero_tpu.config import ConfigDict
+    from src.model.vla.joint_model import JointModel
+
+    cfg = ConfigDict({**GEOM, "mixture": {k: ConfigDict(v) for k, v in MIX.items()}})
+    torch.manual_seed(0)
+    ref = JointModel(cfg)
+    ref.eval()
+
+    jcfg = _our_joint_config()
+    params = _convert_ref_state(ref.state_dict(), jcfg)
+    return ref, jcfg, params
+
+
+def test_training_forward_parity(ref_and_ours):
+    import jax.numpy as jnp
+    import torch
+
+    from open_pi_zero_tpu.models import joint as joint_lib
+    from open_pi_zero_tpu.ops.masks import (
+        action_position_ids,
+        build_block_causal_mask,
+        proprio_position_ids,
+        vlm_position_ids,
+    )
+
+    ref, jcfg, params = ref_and_ours
+    rng = np.random.default_rng(0)
+    B = 2
+    embeds = {
+        n: rng.normal(size=(B, LENS[n], MIX[n]["hidden_size"])).astype(np.float32) * 0.1
+        for n in LENS
+    }
+    attn_valid = np.ones((B, LENS["vlm"]), np.int32)
+    attn_valid[1, -2:] = 0  # ragged text padding in one batch row
+    mask = build_block_causal_mask(
+        jnp.asarray(attn_valid.sum(-1)), LENS["vlm"], LENS["proprio"], LENS["action"]
+    )
+    pos = {
+        "vlm": jnp.broadcast_to(vlm_position_ids(LENS["vlm"]), (B, LENS["vlm"])),
+        "proprio": jnp.broadcast_to(
+            proprio_position_ids(LENS["proprio"]), (B, LENS["proprio"])
+        ),
+        "action": jnp.broadcast_to(
+            action_position_ids(LENS["proprio"], LENS["action"]), (B, LENS["action"])
+        ),
+    }
+
+    # ---- reference (torch fp32, training mode = no cache) ----
+    with torch.no_grad():
+        ref_out = ref(
+            attention_mask=torch.from_numpy(np.asarray(mask, np.float32)),
+            position_ids_all={
+                n: torch.from_numpy(np.asarray(pos[n])).long() for n in pos
+            },
+            embeds_all={n: torch.from_numpy(embeds[n].copy()) for n in LENS},
+            kv_caches={},
+            cache_mode="no_append",
+        )["action"].numpy()
+
+    # ---- ours ----
+    ours = joint_lib.joint_forward(
+        params, jcfg,
+        {n: jnp.asarray(embeds[n]) for n in LENS},
+        pos, mask,
+    )["action"]
+
+    np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=2e-4, atol=2e-5)
+
+
+def test_gemma_modules_parity(ref_and_ours):
+    """RMSNorm / RoPE / geglu MLP ops vs the reference implementations."""
+    import jax.numpy as jnp
+    import torch
+
+    from src.model.paligemma.modules import GemmaRMSNorm, GemmaRotaryEmbedding
+    from src.model.utils import apply_rotary_pos_emb
+
+    from open_pi_zero_tpu.ops.norms import rms_norm
+    from open_pi_zero_tpu.ops.rope import apply_rope, rope_cos_sin
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 5, 16)).astype(np.float32)
+
+    norm = GemmaRMSNorm(16)
+    with torch.no_grad():
+        norm.weight.copy_(torch.from_numpy(rng.normal(size=16).astype(np.float32) * 0.1))
+        want = norm(torch.from_numpy(x)).numpy()
+    got = rms_norm(jnp.asarray(x), jnp.asarray(norm.weight.detach().numpy()), 1e-6)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
+
+    # RoPE: [B, H, S, D] torch layout vs our [B, S, H, D]
+    q = rng.normal(size=(2, 3, 5, 8)).astype(np.float32)  # B H S D
+    positions = np.tile(np.arange(1, 6)[None], (2, 1))
+    rot = GemmaRotaryEmbedding(dim=8, base=100.0)
+    with torch.no_grad():
+        cos_t, sin_t = rot(torch.from_numpy(q), torch.from_numpy(positions).long())
+        q_ref = apply_rotary_pos_emb(torch.from_numpy(q), cos_t, sin_t)
+    cos, sin = rope_cos_sin(jnp.asarray(positions), 8, 100.0)
+    q_ours = apply_rope(jnp.asarray(q.transpose(0, 2, 1, 3)), cos, sin)
+    np.testing.assert_allclose(
+        np.asarray(q_ours), q_ref.numpy().transpose(0, 2, 1, 3), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_cached_action_step_parity(ref_and_ours):
+    """The production path: prefill KV (vlm+proprio) then one action-expert
+    step with cache_mode="append_non_active" — reference pizero.py:430-477 —
+    must match our joint_prefill + joint_action_step."""
+    import jax.numpy as jnp
+    import torch
+
+    from open_pi_zero_tpu.models import joint as joint_lib
+    from open_pi_zero_tpu.ops.masks import (
+        action_position_ids,
+        build_block_causal_mask,
+        proprio_position_ids,
+        split_prefix_and_action_masks,
+        vlm_position_ids,
+    )
+
+    ref, jcfg, params = ref_and_ours
+    rng = np.random.default_rng(2)
+    B = 2
+    embeds = {
+        n: rng.normal(size=(B, LENS[n], MIX[n]["hidden_size"])).astype(np.float32) * 0.1
+        for n in LENS
+    }
+    cnt = np.array([LENS["vlm"], LENS["vlm"] - 2], np.int32)
+    full_mask = build_block_causal_mask(
+        jnp.asarray(cnt), LENS["vlm"], LENS["proprio"], LENS["action"]
+    )
+    prefix_mask, action_mask = split_prefix_and_action_masks(
+        full_mask, LENS["vlm"], LENS["proprio"], LENS["action"]
+    )
+    pos = {
+        "vlm": jnp.broadcast_to(vlm_position_ids(LENS["vlm"]), (B, LENS["vlm"])),
+        "proprio": jnp.broadcast_to(
+            proprio_position_ids(LENS["proprio"]), (B, LENS["proprio"])
+        ),
+        "action": jnp.broadcast_to(
+            action_position_ids(LENS["proprio"], LENS["action"]), (B, LENS["action"])
+        ),
+    }
+
+    # ---- reference: prefill then cached action step ----
+    with torch.no_grad():
+        kv_caches = ref.build_mixture_caches()
+        _ = ref(
+            attention_mask=torch.from_numpy(np.asarray(prefix_mask, np.float32)),
+            position_ids_all={
+                "vlm": torch.from_numpy(np.asarray(pos["vlm"])).long(),
+                "proprio": torch.from_numpy(np.asarray(pos["proprio"])).long(),
+            },
+            embeds_all={
+                "vlm": torch.from_numpy(embeds["vlm"].copy()),
+                "proprio": torch.from_numpy(embeds["proprio"].copy()),
+            },
+            kv_caches=kv_caches,
+            return_caches=True,
+        )
+        ref_out = ref(
+            attention_mask=torch.from_numpy(np.asarray(action_mask, np.float32)),
+            position_ids_all={
+                "action": torch.from_numpy(np.asarray(pos["action"])).long()
+            },
+            embeds_all={"action": torch.from_numpy(embeds["action"].copy())},
+            kv_caches=kv_caches,
+            cache_mode="append_non_active",
+        )["action"].numpy()
+
+    # ---- ours ----
+    cache = joint_lib.joint_prefill(
+        params, jcfg,
+        {"vlm": jnp.asarray(embeds["vlm"]), "proprio": jnp.asarray(embeds["proprio"])},
+        {"vlm": pos["vlm"], "proprio": pos["proprio"]},
+        prefix_mask,
+    )
+    ours = joint_lib.joint_action_step(
+        params, jcfg, jnp.asarray(embeds["action"]), cache, pos["action"], action_mask
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=2e-4, atol=2e-5)
