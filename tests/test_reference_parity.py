@@ -320,3 +320,57 @@ def test_cached_action_step_parity(ref_and_ours):
         params, jcfg, jnp.asarray(embeds["action"]), cache, pos["action"], action_mask
     )
     np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=2e-4, atol=2e-5)
+
+
+def test_siglip_tower_parity():
+    """SigLIP ViT vs the reference torch tower through the production
+    converter (patch conv -> matmul equivalence, pre-LN blocks, tanh-GELU
+    MLP, post-layernorm; reference src/model/paligemma/siglip.py)."""
+    _install_stubs()
+    import jax.numpy as jnp
+    import torch
+
+    from src.model.paligemma.siglip import SiglipVisionModel
+
+    from open_pi_zero_tpu.config import SiglipConfig
+    from open_pi_zero_tpu.models import convert, siglip as siglip_lib
+
+    scfg = SiglipConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, image_size=28, patch_size=14,
+        num_image_tokens=4, projection_dim=48,
+    )
+
+    class _RefCfg:
+        hidden_size = 32
+        intermediate_size = 64
+        num_hidden_layers = 2
+        num_attention_heads = 4
+        num_channels = 3
+        image_size = 28
+        patch_size = 14
+        layer_norm_eps = 1e-6
+        attention_dropout = 0.0
+        lora = None
+
+    torch.manual_seed(0)
+    ref = SiglipVisionModel(_RefCfg())
+    ref.eval()
+
+    rng = np.random.default_rng(0)
+    pix = rng.normal(size=(2, 3, 28, 28)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(pix)).numpy()
+
+    tensors = {
+        "vision_tower." + k: v.numpy() for k, v in ref.state_dict().items()
+    }
+
+    class _C:
+        siglip = scfg
+
+    params = convert.convert_siglip(tensors, _C)
+    got = siglip_lib.forward(
+        params, scfg, jnp.asarray(pix.transpose(0, 2, 3, 1))  # ours is NHWC
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
