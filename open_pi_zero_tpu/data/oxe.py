@@ -22,6 +22,7 @@ class ProprioEncoding(enum.Enum):
     POS_QUAT = "pos_quat"  # xyz + quat + gripper(1)
     JOINT = "joint"
     JOINT_BIMANUAL = "joint_bimanual"
+    POS_NAV = "pos_nav"  # xy + yaw
 
 
 class ActionEncoding(enum.Enum):
@@ -29,6 +30,7 @@ class ActionEncoding(enum.Enum):
     JOINT_POS = "joint_pos"
     JOINT_POS_BIMANUAL = "joint_pos_bimanual"
     NAV_2D = "nav_2d"
+    JOINT_POS_BIMANUAL_NAV = "joint_pos_bimanual_nav"
 
 
 # --------------------------------------------------------------------------- #
@@ -171,6 +173,8 @@ def action_normalization_mask(encoding: ActionEncoding) -> List[bool]:
         return [True] * 6 + [False] + [True] * 6 + [False]
     if encoding is ActionEncoding.NAV_2D:
         return [True] * 2
+    if encoding is ActionEncoding.JOINT_POS_BIMANUAL_NAV:
+        return [True] * 6 + [False] + [True] * 6 + [False] + [True] * 2
     raise ValueError(f"unsupported action encoding {encoding}")
 
 
@@ -187,9 +191,9 @@ def make_oxe_dataset_kwargs(
     if name not in REGISTRY:
         raise ValueError(f"unknown OXE dataset {name!r}; add it to oxe.REGISTRY")
     cfg = copy.deepcopy(REGISTRY[name])
-    missing = set(load_camera_views) - set(
-        k for k, v in cfg["image_obs_keys"].items() if v is not None
-    )
+    # a view mapped to None is valid (padding image, reference
+    # oxe/__init__.py:64-69 checks key presence, not None-ness)
+    missing = set(load_camera_views) - set(cfg["image_obs_keys"])
     if missing:
         raise ValueError(f"{name} lacks views {missing}")
     kwargs: Dict[str, Any] = {
@@ -198,7 +202,8 @@ def make_oxe_dataset_kwargs(
         "image_obs_keys": {
             k: v for k, v in cfg["image_obs_keys"].items() if k in load_camera_views
         },
-        "standardize_fn": STANDARDIZE_FNS.get(name, identity_transform),
+        "standardize_fn": cfg.get("standardize_fn")
+        or STANDARDIZE_FNS.get(name, identity_transform),
         "action_normalization_mask": action_normalization_mask(cfg["action_encoding"]),
     }
     if load_depth:
@@ -230,3 +235,17 @@ def make_oxe_dataset_kwargs_and_weights(
         kwargs_list.append(make_oxe_dataset_kwargs(name, data_dir, **kwargs))
         weights.append(weight)
     return kwargs_list, weights
+
+
+# --------------------------------------------------------------------------- #
+# extended registry: the full OXE table + named mixes (data/oxe_registry.py;
+# imported at module bottom — oxe_registry uses the helpers defined above)
+# --------------------------------------------------------------------------- #
+
+from open_pi_zero_tpu.data import oxe_registry as _ext  # noqa: E402
+
+REGISTRY.update(_ext.EXTENDED_REGISTRY)
+MIXES.update(_ext.EXTENDED_MIXES)
+for _name, _entry in _ext.EXTENDED_REGISTRY.items():
+    if _entry.get("standardize_fn") is not None:
+        STANDARDIZE_FNS[_name] = _entry["standardize_fn"]

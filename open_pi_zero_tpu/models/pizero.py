@@ -179,6 +179,7 @@ def infer_action(
     pixel_values: Array,  # [B, H, W, C] normalized
     attention_mask: Array,  # [B, S] binary (image+text valid)
     proprios: Array,  # [B, P, proprio_dim]
+    action0: Optional[Array] = None,  # inject initial noise (tests/parity)
 ) -> Array:
     """KV-cached action inference: one prefix prefill, then `lax.scan` over
     the Euler steps (reference pizero.py:416-490). Returns [B, A, act_dim].
@@ -208,9 +209,11 @@ def infer_action(
         time_cond=prefix_cond,
     )
 
-    action0 = jax.random.normal(
-        rng, (b, cfg.horizon_steps, cfg.action_dim), dtype=dtype
-    )
+    if action0 is None:
+        action0 = jax.random.normal(
+            rng, (b, cfg.horizon_steps, cfg.action_dim), dtype=dtype
+        )
+    action0 = action0.astype(dtype)
     delta_t = 1.0 / cfg.num_inference_steps
 
     def euler_step(carry, _):
@@ -321,13 +324,15 @@ def flow_matching_loss(
     proprios: Array,
     actions: Array,  # [B, A, act_dim] ground truth
     t: Array,  # [B] flow times in (0, 1)
+    x0: Optional[Array] = None,  # inject noise (tests/parity); default randn
 ) -> Array:
     """MSE between predicted velocity and x1 - (1-σmin)·x0
     (reference pizero.py:607-661). No KV cache."""
     dtype = pixel_values.dtype
     full_mask, _, _, pos = prepare_action_inputs(cfg, attention_mask)
 
-    x0 = jax.random.normal(rng, actions.shape, dtype=t.dtype)
+    if x0 is None:
+        x0 = jax.random.normal(rng, actions.shape, dtype=t.dtype)
     x1 = actions.astype(t.dtype)
     xt = psi_t(cfg, x0, x1, t).astype(dtype)
 

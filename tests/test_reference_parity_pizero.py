@@ -1,0 +1,298 @@
+"""Full-model parity against the ACTUAL reference PiZero (torch, tiny
+geometry): block-causal mask + position ids, flow-matching loss, and the
+complete KV-cached `infer_action` (prefill + Euler loop + clipping) — the
+production inference path — with injected noise so both sides integrate
+the identical flow. Validates encoders, embed merge, mask builder, trunk,
+decoder and converter together against the source of truth."""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "src")), reason="reference not mounted"
+)
+
+
+def _install_stubs():
+    from tests.test_reference_parity import _install_stubs as base
+
+    base()
+    if "hydra" not in sys.modules:
+        hydra = types.ModuleType("hydra")
+        utils = types.ModuleType("hydra.utils")
+
+        def instantiate(cfg, **kw):
+            import importlib
+
+            d = dict(cfg)
+            target = d.pop("_target_")
+            mod, cls = target.rsplit(".", 1)
+            return getattr(importlib.import_module(mod), cls)(**d, **kw)
+
+        utils.instantiate = instantiate
+        hydra.utils = utils
+        sys.modules["hydra"] = hydra
+        sys.modules["hydra.utils"] = utils
+
+
+B = 2
+GEOM = dict(
+    vocab_size=64,
+    pad_token_id=0,
+    image_token_index=50,
+    max_image_text_tokens=7,
+    cond_steps=1,
+    horizon_steps=4,
+    action_dim=3,
+    proprio_dim=5,
+    num_inference_steps=2,
+    final_action_clip_value=1.0,
+    flow_sig_min=0.001,
+    time_hidden_size=16,
+    time_max_period=100.0,
+    action_expert_adaptive_mode=None,
+)
+JOINT = dict(
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=1, head_dim=8,
+    rms_norm_eps=1e-6, attention_bias=False, attention_dropout=0.0,
+)
+VIS = dict(
+    hidden_size=24, intermediate_size=48, num_hidden_layers=2,
+    num_attention_heads=4, num_channels=3, image_size=28, patch_size=14,
+    layer_norm_eps=1e-6, num_image_tokens=4, attention_dropout=0.0,
+)
+MIX = dict(
+    vlm=dict(hidden_size=32, intermediate_size=64, use_final_norm=False,
+             cache=True, use_quantize=False, use_lora=False, adaptive_mode=None,
+             rope_theta=10000.0),
+    proprio=dict(hidden_size=16, intermediate_size=32, use_final_norm=True,
+                 cache=True, use_quantize=False, use_lora=False, adaptive_mode=None,
+                 rope_theta=100.0),
+    action=dict(hidden_size=16, intermediate_size=32, use_final_norm=True,
+                cache=False, use_quantize=False, use_lora=False, adaptive_mode=None,
+                rope_theta=100.0),
+)
+
+
+def _our_config():
+    from open_pi_zero_tpu.config import (
+        JointConfig, MixtureConfig, PiZeroConfig, SiglipConfig,
+    )
+
+    mixtures = tuple(
+        MixtureConfig(
+            hidden_size=m["hidden_size"], intermediate_size=m["intermediate_size"],
+            use_final_norm=m["use_final_norm"], cache=m["cache"],
+            rope_theta=m["rope_theta"],
+        )
+        for m in MIX.values()
+    )
+    joint = JointConfig(
+        time_hidden_size=GEOM["time_hidden_size"], mixtures=mixtures,
+        tie_proprio=False, **JOINT,
+    )
+    siglip = SiglipConfig(
+        hidden_size=VIS["hidden_size"], intermediate_size=VIS["intermediate_size"],
+        num_hidden_layers=VIS["num_hidden_layers"],
+        num_attention_heads=VIS["num_attention_heads"],
+        image_size=VIS["image_size"], patch_size=VIS["patch_size"],
+        num_image_tokens=VIS["num_image_tokens"],
+        projection_dim=MIX["vlm"]["hidden_size"],
+    )
+    return PiZeroConfig(
+        vocab_size=GEOM["vocab_size"],
+        pad_token_id=GEOM["pad_token_id"],
+        image_token_index=GEOM["image_token_index"],
+        max_image_text_tokens=GEOM["max_image_text_tokens"],
+        cond_steps=GEOM["cond_steps"],
+        horizon_steps=GEOM["horizon_steps"],
+        action_dim=GEOM["action_dim"],
+        proprio_dim=GEOM["proprio_dim"],
+        num_inference_steps=GEOM["num_inference_steps"],
+        final_action_clip_value=GEOM["final_action_clip_value"],
+        flow_sig_min=GEOM["flow_sig_min"],
+        time_hidden_size=GEOM["time_hidden_size"],
+        time_max_period=GEOM["time_max_period"],
+        siglip=siglip,
+        joint=joint,
+    )
+
+
+@pytest.fixture(scope="module")
+def models():
+    _install_stubs()
+    import torch
+
+    from open_pi_zero_tpu.config import ConfigDict
+    from open_pi_zero_tpu.models import convert
+    from src.model.vla.pizero import PiZero
+
+    cfg_ref = ConfigDict(
+        {
+            **GEOM,
+            "mixture": {k: ConfigDict(v) for k, v in MIX.items()},
+            "vision": {
+                "_target_": "src.model.paligemma.siglip.SiglipVisionModel",
+                "config": ConfigDict({**VIS, "lora": None}),
+            },
+            "vision_projector": {
+                "_target_": "src.model.paligemma.siglip.PaliGemmaMultiModalProjector",
+                "config": ConfigDict(
+                    {"vision_config": ConfigDict(
+                        {"hidden_size": VIS["hidden_size"],
+                         "projection_dim": MIX["vlm"]["hidden_size"]}
+                    )}
+                ),
+            },
+            "joint": {
+                "_target_": "src.model.vla.joint_model.JointModel",
+                "config": ConfigDict(
+                    {**JOINT, "time_hidden_size": GEOM["time_hidden_size"],
+                     "mixture": {k: ConfigDict(v) for k, v in MIX.items()}}
+                ),
+            },
+        }
+    )
+    torch.manual_seed(0)
+    ref = PiZero(cfg_ref)
+    ref.eval()
+
+    our_cfg = _our_config()
+    params = convert.convert_vla_state_dict(
+        {k: v for k, v in ref.state_dict().items()}, our_cfg
+    )
+    return ref, our_cfg, params
+
+
+def _inputs():
+    rng = np.random.default_rng(0)
+    ids = np.zeros((B, GEOM["max_image_text_tokens"]), np.int64)
+    ids[:, :4] = GEOM["image_token_index"]
+    ids[:, 4] = 2
+    ids[0, 5:7] = [10, 11]
+    ids[1, 5] = 12  # row 1 has one pad slot
+    am = (ids != 0).astype(np.int64)
+    pix = rng.normal(size=(B, 3, 28, 28)).astype(np.float32)
+    prop = rng.normal(size=(B, 1, GEOM["proprio_dim"])).astype(np.float32)
+    act = rng.uniform(-1, 1, size=(B, 4, 3)).astype(np.float32)
+    t = np.asarray([0.3, 0.7], np.float32)
+    x0 = rng.normal(size=act.shape).astype(np.float32)
+    return ids, am, pix, prop, act, t, x0
+
+
+def test_mask_and_position_parity(models):
+    import torch
+
+    from open_pi_zero_tpu.models import pizero as ours
+
+    ref, cfg, _ = models
+    ids, am, *_ = _inputs()
+    ref_mask, vp, pp, ap = ref.build_causal_mask_and_position_ids(
+        torch.from_numpy(am), dtype=torch.float32
+    )
+    full, prefix, action, pos = ours.prepare_action_inputs(
+        cfg, np.asarray(am, np.int32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(full) == 0.0, ref_mask.numpy() == 0.0
+    )
+    ref_prefix, ref_action = ref.split_full_mask_into_submasks(ref_mask)
+    np.testing.assert_array_equal(
+        np.asarray(prefix) == 0.0, ref_prefix.numpy() == 0.0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(action) == 0.0, ref_action.numpy() == 0.0
+    )
+    np.testing.assert_array_equal(np.asarray(pos["vlm"]), vp.numpy()[0])
+    np.testing.assert_array_equal(np.asarray(pos["proprio"]), pp.numpy()[0])
+    np.testing.assert_array_equal(np.asarray(pos["action"]), ap.numpy()[0])
+
+
+def test_flow_matching_loss_parity(models, monkeypatch):
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from open_pi_zero_tpu.models import pizero as ours
+
+    ref, cfg, params = models
+    ids, am, pix, prop, act, t, x0 = _inputs()
+
+    monkeypatch.setattr(
+        torch, "randn_like", lambda x, **kw: torch.from_numpy(x0.copy())
+    )
+    ref_mask, vp, pp, ap = ref.build_causal_mask_and_position_ids(
+        torch.from_numpy(am), dtype=torch.float32
+    )
+    with torch.no_grad():
+        want = float(
+            ref(
+                input_ids=torch.from_numpy(ids),
+                pixel_values=torch.from_numpy(pix),
+                causal_mask=ref_mask,
+                vlm_position_ids=vp,
+                proprio_position_ids=pp,
+                action_position_ids=ap,
+                proprios=torch.from_numpy(prop),
+                actions=torch.from_numpy(act),
+                t=torch.from_numpy(t),
+            )
+        )
+
+    got = float(
+        ours.flow_matching_loss(
+            params, cfg, jax.random.key(0),
+            jnp.asarray(ids, jnp.int32),
+            jnp.asarray(pix.transpose(0, 2, 3, 1)),  # NHWC
+            jnp.asarray(am, jnp.int32),
+            jnp.asarray(prop), jnp.asarray(act), jnp.asarray(t),
+            x0=jnp.asarray(x0),
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
+def test_infer_action_parity(models, monkeypatch):
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from open_pi_zero_tpu.models import pizero as ours
+
+    ref, cfg, params = models
+    ids, am, pix, prop, act, t, x0 = _inputs()
+    a0 = np.random.default_rng(5).normal(size=(B, 4, 3)).astype(np.float32)
+
+    monkeypatch.setattr(
+        torch, "randn", lambda *shape, **kw: torch.from_numpy(a0.copy())
+    )
+    ref_mask, vp, pp, ap = ref.build_causal_mask_and_position_ids(
+        torch.from_numpy(am), dtype=torch.float32
+    )
+    ref_prefix, ref_action = ref.split_full_mask_into_submasks(ref_mask)
+    with torch.no_grad():
+        want = ref.infer_action(
+            input_ids=torch.from_numpy(ids),
+            pixel_values=torch.from_numpy(pix),
+            image_text_proprio_mask=ref_prefix,
+            action_mask=ref_action,
+            vlm_position_ids=vp,
+            proprio_position_ids=pp,
+            action_position_ids=ap,
+            proprios=torch.from_numpy(prop),
+        ).numpy()
+
+    got = ours.infer_action(
+        params, cfg, jax.random.key(0),
+        jnp.asarray(ids, jnp.int32),
+        jnp.asarray(pix.transpose(0, 2, 3, 1)),
+        jnp.asarray(am, jnp.int32),
+        jnp.asarray(prop),
+        action0=jnp.asarray(a0),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
