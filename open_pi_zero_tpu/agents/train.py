@@ -94,11 +94,18 @@ class TrainAgent:
         del self.params  # single source of truth: state.params
 
         self.cnt_batch = 0
+        self._wandb_id: Optional[str] = None
         resume = cfg.get("resume_checkpoint_path")
+        if resume == "auto":
+            # elastic restarts: pick up the newest checkpoint if any
+            # (replaces torchrun --max-restarts + resume path plumbing,
+            # reference slurm/train_multi_node.sh:45-49)
+            resume = self._latest_checkpoint()
         if resume:
             self.state, extra = ckpt_lib.restore_checkpoint(str(resume), self.state)
             self.cnt_batch = int(extra.get("cnt_batch", 0))
-            log.info("resumed at update %d", int(self.state.step))
+            self._wandb_id = extra.get("wandb_id")
+            log.info("resumed from %s at update %d", resume, int(self.state.step))
 
         # ---- data ----
         self.dataset = dataset
@@ -149,13 +156,28 @@ class TrainAgent:
                 import wandb
 
                 self.wandb = wandb
-                wandb.init(
+                run = wandb.init(
                     project=str(cfg.wandb.get("project", "open-pi-zero-tpu")),
                     name=str(cfg.get("name", "run")),
                     config=dict(cfg),
+                    id=self._wandb_id,  # resume the run across restarts
+                    resume="allow" if self._wandb_id else None,
                 )
+                self._wandb_id = run.id
             except Exception as e:  # pragma: no cover - wandb not in test env
                 log.warning("wandb disabled: %s", e)
+
+    def _latest_checkpoint(self) -> Optional[str]:
+        import re
+
+        if not os.path.isdir(self.ckpt_dir):
+            return None
+        best, best_step = None, -1
+        for d in os.listdir(self.ckpt_dir):
+            m = re.fullmatch(r"ckpt_(\d+)", d)
+            if m and int(m.group(1)) > best_step:
+                best, best_step = os.path.join(self.ckpt_dir, d), int(m.group(1))
+        return best
 
     # ------------------------------------------------------------------ #
     @log_execution_time(log)
@@ -314,6 +336,7 @@ class TrainAgent:
             return
         path = os.path.join(self.ckpt_dir, f"ckpt_{update}")
         ckpt_lib.save_checkpoint(
-            path, jax.device_get(self.state), extra={"cnt_batch": self.cnt_batch}
+            path, jax.device_get(self.state),
+            extra={"cnt_batch": self.cnt_batch, "wandb_id": self._wandb_id},
         )
         log.info("saved checkpoint %s", path)

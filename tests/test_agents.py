@@ -389,3 +389,27 @@ def test_eval_agent_loop(tmp_path, monkeypatch):
     assert result["n_episodes"] == 4
     assert result["success_rate"] == 0.5  # even episodes succeed
     assert result["mean_inference_time_s"] is not None
+
+
+@pytest.mark.slow
+def test_train_agent_auto_resume(bridge_dir, tmp_path):
+    """resume_checkpoint_path='auto' picks the newest checkpoint
+    (elastic-restart semantics)."""
+    from open_pi_zero_tpu.agents.train import TrainAgent
+
+    cfg = _tiny_train_cfg(bridge_dir, tmp_path, eval_freq=0)
+    agent = TrainAgent(cfg)
+    agent.run()  # saves ckpt_2
+
+    cfg2 = _tiny_train_cfg(
+        bridge_dir, tmp_path, resume_checkpoint_path="auto", n_updates=3, eval_freq=0
+    )
+    agent2 = TrainAgent(cfg2)
+    assert int(agent2.state.step) == 2
+
+    # no checkpoints -> auto resolves to fresh start
+    cfg3 = _tiny_train_cfg(
+        bridge_dir, tmp_path / "fresh", resume_checkpoint_path="auto", eval_freq=0
+    )
+    agent3 = TrainAgent(cfg3)
+    assert int(agent3.state.step) == 0
