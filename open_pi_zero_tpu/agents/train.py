@@ -155,7 +155,9 @@ class TrainAgent:
             try:
                 import wandb
 
-                self.wandb = wandb
+                # NOTE: on resume, wandb drops log() calls at steps the run
+                # already has (updates between the restored checkpoint and
+                # the crash) — same gap the reference leaves.
                 run = wandb.init(
                     project=str(cfg.wandb.get("project", "open-pi-zero-tpu")),
                     name=str(cfg.get("name", "run")),
@@ -164,19 +166,39 @@ class TrainAgent:
                     resume="allow" if self._wandb_id else None,
                 )
                 self._wandb_id = run.id
+                self.wandb = wandb  # only after a successful init
             except Exception as e:  # pragma: no cover - wandb not in test env
                 log.warning("wandb disabled: %s", e)
 
     def _latest_checkpoint(self) -> Optional[str]:
+        """Newest COMPLETE checkpoint (state dir + meta present — a save
+        interrupted by preemption leaves a partial ckpt_N that must not be
+        picked, or elastic restarts would crash-loop on it). On multi-host
+        pods the choice is made by process 0 and broadcast so every host
+        restores the same step."""
         import re
 
-        if not os.path.isdir(self.ckpt_dir):
-            return None
         best, best_step = None, -1
-        for d in os.listdir(self.ckpt_dir):
-            m = re.fullmatch(r"ckpt_(\d+)", d)
-            if m and int(m.group(1)) > best_step:
-                best, best_step = os.path.join(self.ckpt_dir, d), int(m.group(1))
+        if jax.process_index() == 0 and os.path.isdir(self.ckpt_dir):
+            for d in os.listdir(self.ckpt_dir):
+                m = re.fullmatch(r"ckpt_(\d+)", d)
+                path = os.path.join(self.ckpt_dir, d)
+                complete = os.path.isdir(
+                    os.path.join(path, ckpt_lib.STATE_DIR)
+                ) and os.path.exists(os.path.join(path, ckpt_lib.META_FILE))
+                if m and complete and int(m.group(1)) > best_step:
+                    best, best_step = path, int(m.group(1))
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            best_step = int(
+                multihost_utils.broadcast_one_to_all(np.int32(best_step))
+            )
+            best = (
+                os.path.join(self.ckpt_dir, f"ckpt_{best_step}")
+                if best_step >= 0
+                else None
+            )
         return best
 
     # ------------------------------------------------------------------ #

@@ -23,11 +23,17 @@ META_FILE = "meta.json"
 
 
 def save_checkpoint(path: str, state: TrainState, extra: Optional[dict] = None):
+    """A checkpoint is COMPLETE only when both the orbax state dir and
+    meta.json exist (auto-resume checks both, agents/train.py). meta.json
+    is written atomically (tmp + rename) so a preemption can never leave a
+    truncated file that parses as valid-but-empty metadata."""
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(os.path.join(path, STATE_DIR), state, force=True)
-    with open(os.path.join(path, META_FILE), "w") as f:
+    tmp = os.path.join(path, META_FILE + ".tmp")
+    with open(tmp, "w") as f:
         json.dump(extra or {}, f)
+    os.replace(tmp, os.path.join(path, META_FILE))
 
 
 def restore_checkpoint(path: str, abstract_state: TrainState) -> tuple:

@@ -393,19 +393,25 @@ def test_eval_agent_loop(tmp_path, monkeypatch):
 
 @pytest.mark.slow
 def test_train_agent_auto_resume(bridge_dir, tmp_path):
-    """resume_checkpoint_path='auto' picks the newest checkpoint
-    (elastic-restart semantics)."""
+    """resume_checkpoint_path='auto' picks the newest COMPLETE checkpoint
+    (elastic-restart semantics), round-trips wandb_id, and skips partial
+    checkpoints left by preemption."""
     from open_pi_zero_tpu.agents.train import TrainAgent
 
     cfg = _tiny_train_cfg(bridge_dir, tmp_path, eval_freq=0)
     agent = TrainAgent(cfg)
+    agent._wandb_id = "run-abc123"
     agent.run()  # saves ckpt_2
 
+    # a partial newer checkpoint (no state/meta) must be skipped
+    os.makedirs(os.path.join(agent.ckpt_dir, "ckpt_99"))
+
     cfg2 = _tiny_train_cfg(
-        bridge_dir, tmp_path, resume_checkpoint_path="auto", n_updates=3, eval_freq=0
+        bridge_dir, tmp_path, resume_checkpoint_path="auto", eval_freq=0
     )
     agent2 = TrainAgent(cfg2)
     assert int(agent2.state.step) == 2
+    assert agent2._wandb_id == "run-abc123"  # persisted through meta.json
 
     # no checkpoints -> auto resolves to fresh start
     cfg3 = _tiny_train_cfg(
