@@ -132,16 +132,33 @@ def convert_gemma_mixture(
     def norm_w(name):
         return _stack(tensors, prefix + "layers.{}." + name + ".weight", L, transpose=False)
 
+    def has(key):
+        return (prefix + "layers.0." + key) in tensors
+
+    def adaptive_norm(name):
+        """AdaptiveRMSNorm: to_gamma = Sequential(Linear, Sigmoid), to_beta =
+        Linear(bias=False) (reference vla/modules.py:78-99)."""
+        return {
+            "gamma_kernel": _stack(tensors, prefix + "layers.{}." + name + ".to_gamma.0.weight", L),
+            "gamma_bias": _stack(tensors, prefix + "layers.{}." + name + ".to_gamma.0.bias", L, transpose=False),
+            "beta_kernel": _stack(tensors, prefix + "layers.{}." + name + ".to_beta.weight", L),
+        }
+
+    adaptive = has("input_layernorm.to_gamma.0.weight")
+
+    def norm_params(name):
+        return adaptive_norm(name) if adaptive else {"weight": norm_w(name)}
+
     out = {
         "layers": {
-            "input_norm": {"weight": norm_w("input_layernorm")},
+            "input_norm": norm_params("input_layernorm"),
             "attn": {
                 "q": lin("self_attn.q_proj"),
                 "k": lin("self_attn.k_proj"),
                 "v": lin("self_attn.v_proj"),
                 "o": lin("self_attn.o_proj"),
             },
-            "post_norm": {"weight": norm_w("post_attention_layernorm")},
+            "post_norm": norm_params("post_attention_layernorm"),
             "mlp": {
                 "gate": lin("mlp.gate_proj"),
                 "up": lin("mlp.up_proj"),
@@ -149,8 +166,43 @@ def convert_gemma_mixture(
             },
         }
     }
+
+    # adaLN-Zero residual gates (reference mixture.py:102-108)
+    for ours, theirs in (
+        ("post_scale", "post_adaptive_scale"),
+        ("final_scale", "final_adaptive_scale"),
+    ):
+        if has(theirs + ".to_adaln_zero_gamma.weight"):
+            out["layers"][ours] = {
+                "kernel": _stack(tensors, prefix + "layers.{}." + theirs + ".to_adaln_zero_gamma.weight", L),
+                "bias": _stack(tensors, prefix + "layers.{}." + theirs + ".to_adaln_zero_gamma.bias", L, transpose=False),
+            }
+
+    # LoRA adapters: reference stores unmerged lora_A [r, in] / lora_B
+    # [out, r] next to each frozen .weight (src/model/lora.py:167-168) —
+    # silently dropping them would discard the whole fine-tune
+    for group, names in (
+        ("attn", {"q": "self_attn.q_proj", "k": "self_attn.k_proj",
+                  "v": "self_attn.v_proj", "o": "self_attn.o_proj"}),
+        ("mlp", {"gate": "mlp.gate_proj", "up": "mlp.up_proj",
+                 "down": "mlp.down_proj"}),
+    ):
+        for short, name in names.items():
+            if has(name + ".lora_A"):
+                out["layers"][group][f"{short}_lora"] = {
+                    "a": _stack(tensors, prefix + "layers.{}." + name + ".lora_A", L),
+                    "b": _stack(tensors, prefix + "layers.{}." + name + ".lora_B", L),
+                }
+
     if use_final_norm:
-        out["final_norm"] = {"weight": _np(tensors[prefix + "norm.weight"])}
+        if (prefix + "norm.to_gamma.0.weight") in tensors:
+            out["final_norm"] = {
+                "gamma_kernel": _t(tensors[prefix + "norm.to_gamma.0.weight"]),
+                "gamma_bias": _np(tensors[prefix + "norm.to_gamma.0.bias"]),
+                "beta_kernel": _t(tensors[prefix + "norm.to_beta.weight"]),
+            }
+        else:
+            out["final_norm"] = {"weight": _np(tensors[prefix + "norm.weight"])}
     return out
 
 

@@ -106,7 +106,6 @@ def _layer(
     mask: Array,  # [B, 1, sum(Lq), Lkv_total]
     time_conds: Dict[str, Optional[Array]],  # per-mixture adaLN cond
     cached_kv: Optional[Tuple[Array, Array]] = None,  # prefix K/V [B, S, Hkv, Dh]
-    skip_post: Tuple[str, ...] = (),
     collect_kv: bool = False,
 ):
     """One trunk layer over the active mixtures. Returns (new_hiddens,
@@ -140,9 +139,6 @@ def _layer(
 
     out = {}
     for n in names:
-        if n in skip_post:
-            out[n] = hiddens[n]  # value unused downstream (reference returns None)
-            continue
         mcfg = cfg.mixture(n)
         lp = lps[n]
         tc = time_conds.get(n)

@@ -74,7 +74,7 @@ def init_mixture_params(
     Dh, Hq, Hkv = joint.head_dim, joint.num_attention_heads, joint.num_key_value_heads
     Dc = joint.time_hidden_size
     adaptive = mix.adaptive_mode is not None
-    keys = iter(jax.random.split(key, 16))
+    keys = iter(jax.random.split(key, 24))  # base 9 + lora 7 + final_norm 1, headroom
 
     layers = {
         "input_norm": _norm_params(L, D, Dc, adaptive, dtype, next(keys)),

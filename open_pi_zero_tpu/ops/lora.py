@@ -105,7 +105,10 @@ def merge_lora(params, scaling: float = 1.0):
             if lora is not None:
                 base = v
                 if isinstance(base, dict) and "q" in base:
-                    base = base["q"].astype(jnp.float32) * base["scale"]
+                    scale = base["scale"]
+                    if base["q"].ndim == 3:  # stacked [L, in, out], scale [L, out]
+                        scale = scale[:, None, :]
+                    base = base["q"].astype(jnp.float32) * scale
                 delta = scaling * jnp.einsum(
                     "...ir,...ro->...io", lora["a"].astype(jnp.float32),
                     lora["b"].astype(jnp.float32),
@@ -138,6 +141,8 @@ def quantize_base_weights(tree, keys=QUANTIZE_KEYS):
     def walk(d):
         if not isinstance(d, dict):
             return d
+        if "q" in d and "scale" in d and not isinstance(d["q"], dict):
+            return d  # already quantized — idempotent
         out = {}
         for k, v in d.items():
             if k in keys and not isinstance(v, dict) and v is not None and v.ndim >= 2:

@@ -67,7 +67,10 @@ def build_block_causal_mask(
         # action rows attend to action cols
         | (row_is_action & col_is_action)
     )  # [B, T, T]
-    mask = jnp.where(attend, 0.0, MASK_NEG).astype(dtype)
+    # clamp the fill to the target dtype's own min: float32 min overflows
+    # to -inf in bf16, which would NaN fully-masked rows
+    neg = float(jnp.finfo(dtype).min)
+    mask = jnp.where(attend, 0.0, neg).astype(dtype)
     return mask[:, None, :, :]
 
 
@@ -100,22 +103,3 @@ def action_position_ids(num_proprio_tokens: int, num_action_tokens: int) -> jax.
         num_proprio_tokens + num_action_tokens + 1,
         dtype=jnp.int32,
     )
-
-
-def build_text_decode_masks(
-    prefill_len: int, max_decode_tokens: int, dtype=jnp.float32
-) -> Tuple[jax.Array, jax.Array]:
-    """Masks for text generation with a static-size KV cache.
-
-    The reference (pizero.py:338-372) assumes no padding during text
-    generation: the prefill mask is all-zeros [S, S]; each decode step
-    attends to everything cached so far. With a static cache of size
-    prefill_len + max_decode_tokens we instead mask out not-yet-written
-    slots by comparing against the current length at call time; this
-    helper returns the *static* prefill mask; the per-step decode mask is
-    built in the model from the live cache length.
-    """
-    prefill_mask = jnp.zeros((1, 1, prefill_len, prefill_len), dtype=dtype)
-    total = prefill_len + max_decode_tokens
-    decode_template = jnp.full((1, 1, 1, total), MASK_NEG, dtype=dtype)
-    return prefill_mask, decode_template

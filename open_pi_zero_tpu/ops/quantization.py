@@ -87,13 +87,3 @@ def quantize_int8_rowwise(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
     scale = jnp.where(absmax == 0, 1.0, absmax) / 127.0
     q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
     return q, scale.astype(jnp.float32)
-
-
-def int8_matmul(x: jax.Array, q: jax.Array, scale: jax.Array) -> jax.Array:
-    """x [.., in] @ dequant(q [in, out], scale [out]) with fp32 accumulation."""
-    out = jnp.einsum(
-        "...i,io->...o", x.astype(jnp.float32),
-        q.astype(jnp.float32) * scale[None, :],
-        preferred_element_type=jnp.float32,
-    )
-    return out.astype(x.dtype)

@@ -374,3 +374,79 @@ def test_siglip_tower_parity():
         params, scfg, jnp.asarray(pix.transpose(0, 2, 3, 1))  # ours is NHWC
     )
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_lora_forward_parity():
+    """LoRA-enabled reference JointModel (unmerged, train-mode, dropout 0)
+    vs ours after converter adapter mapping — validates the lora_A/lora_B
+    key mapping and the scaled-delta math end-to-end."""
+    _install_stubs()
+    import jax.numpy as jnp
+    import torch
+
+    from omegaconf import OmegaConf  # noqa: F401 (stub present)
+    from src.model.vla.joint_model import JointModel
+
+    from open_pi_zero_tpu.config import ConfigDict, JointConfig, LoraConfig, MixtureConfig
+    from open_pi_zero_tpu.models import convert, joint as joint_lib
+    from open_pi_zero_tpu.ops.masks import (
+        action_position_ids, build_block_causal_mask, proprio_position_ids,
+        vlm_position_ids,
+    )
+
+    mix = {k: dict(v) for k, v in MIX.items()}
+    mix["vlm"]["use_lora"] = True
+    mix["vlm"]["lora"] = {"r": 4, "dropout": 0.0}
+    cfg = ConfigDict({**GEOM, "mixture": {k: ConfigDict(v) for k, v in mix.items()}})
+    torch.manual_seed(1)
+    ref = JointModel(cfg)  # train mode: adapters unmerged
+    with torch.no_grad():  # make the deltas non-trivial (B inits to zero)
+        for name, p in ref.named_parameters():
+            if "lora_B" in name:
+                p.copy_(torch.randn_like(p) * 0.1)
+
+    mixtures = tuple(
+        MixtureConfig(
+            hidden_size=m["hidden_size"], intermediate_size=m["intermediate_size"],
+            use_final_norm=m["use_final_norm"], cache=m["cache"],
+            rope_theta=m["rope_theta"], use_lora=m.get("use_lora", False),
+            lora=LoraConfig(r=4, dropout=0.0),
+        )
+        for m in mix.values()
+    )
+    jcfg = JointConfig(
+        num_hidden_layers=GEOM["num_hidden_layers"],
+        num_attention_heads=GEOM["num_attention_heads"],
+        num_key_value_heads=GEOM["num_key_value_heads"],
+        head_dim=GEOM["head_dim"], time_hidden_size=GEOM["time_hidden_size"],
+        mixtures=mixtures, tie_proprio=False,
+    )
+    params = _convert_ref_state(ref.state_dict(), jcfg)
+    assert "q_lora" in params["mixtures"]["vlm"]["layers"]["attn"]
+    assert "gate_lora" in params["mixtures"]["vlm"]["layers"]["mlp"]
+
+    rng = np.random.default_rng(3)
+    B = 1
+    embeds = {
+        n: rng.normal(size=(B, LENS[n], MIX[n]["hidden_size"])).astype(np.float32) * 0.1
+        for n in LENS
+    }
+    mask = build_block_causal_mask(
+        jnp.asarray([LENS["vlm"]]), LENS["vlm"], LENS["proprio"], LENS["action"]
+    )
+    pos = {
+        "vlm": jnp.broadcast_to(vlm_position_ids(LENS["vlm"]), (B, LENS["vlm"])),
+        "proprio": jnp.broadcast_to(proprio_position_ids(1), (B, 1)),
+        "action": jnp.broadcast_to(action_position_ids(1, LENS["action"]), (B, LENS["action"])),
+    }
+    with torch.no_grad():
+        want = ref(
+            attention_mask=torch.from_numpy(np.asarray(mask, np.float32)),
+            position_ids_all={n: torch.from_numpy(np.asarray(pos[n])).long() for n in pos},
+            embeds_all={n: torch.from_numpy(embeds[n].copy()) for n in LENS},
+            kv_caches={}, cache_mode="no_append",
+        )["action"].numpy()
+    ours = joint_lib.joint_forward(
+        params, jcfg, {n: jnp.asarray(embeds[n]) for n in LENS}, pos, mask
+    )["action"]
+    np.testing.assert_allclose(np.asarray(ours), want, rtol=2e-4, atol=2e-5)
