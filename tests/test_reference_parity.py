@@ -450,3 +450,82 @@ def test_lora_forward_parity():
         params, jcfg, {n: jnp.asarray(embeds[n]) for n in LENS}, pos, mask
     )["action"]
     np.testing.assert_allclose(np.asarray(ours), want, rtol=2e-4, atol=2e-5)
+
+
+def test_adaln_zero_forward_parity():
+    """adaLN-Zero mixtures (adaptive RMSNorm + zero-init residual gates,
+    reference vla/modules.py:78-119) vs ours through the converter's
+    adaptive-parameter mapping."""
+    _install_stubs()
+    import jax.numpy as jnp
+    import torch
+
+    from src.model.vla.joint_model import JointModel
+
+    from open_pi_zero_tpu.config import ConfigDict, JointConfig, MixtureConfig
+    from open_pi_zero_tpu.models import joint as joint_lib
+    from open_pi_zero_tpu.ops.masks import (
+        action_position_ids, build_block_causal_mask, proprio_position_ids,
+        vlm_position_ids,
+    )
+
+    mix = {k: dict(v) for k, v in MIX.items()}
+    for n in ("proprio", "action"):
+        mix[n]["adaptive_mode"] = "adaLN-Zero"
+    cfg = ConfigDict({**GEOM, "mixture": {k: ConfigDict(v) for k, v in mix.items()}})
+    torch.manual_seed(2)
+    ref = JointModel(cfg)
+    ref.eval()
+    with torch.no_grad():  # un-zero the adaLN-Zero gates so they matter
+        for name, p in ref.named_parameters():
+            if "to_adaln_zero_gamma.weight" in name:
+                p.copy_(torch.randn_like(p) * 0.1)
+
+    mixtures = tuple(
+        MixtureConfig(
+            hidden_size=m["hidden_size"], intermediate_size=m["intermediate_size"],
+            use_final_norm=m["use_final_norm"], cache=m["cache"],
+            rope_theta=m["rope_theta"], adaptive_mode=m.get("adaptive_mode"),
+        )
+        for m in mix.values()
+    )
+    jcfg = JointConfig(
+        num_hidden_layers=GEOM["num_hidden_layers"],
+        num_attention_heads=GEOM["num_attention_heads"],
+        num_key_value_heads=GEOM["num_key_value_heads"],
+        head_dim=GEOM["head_dim"], time_hidden_size=GEOM["time_hidden_size"],
+        mixtures=mixtures, tie_proprio=False,
+    )
+    params = _convert_ref_state(ref.state_dict(), jcfg)
+    act_layers = params["mixtures"]["action"]["layers"]
+    assert "gamma_kernel" in act_layers["input_norm"]
+    assert "post_scale" in act_layers and "final_scale" in act_layers
+
+    rng = np.random.default_rng(4)
+    B = 2
+    embeds = {
+        n: rng.normal(size=(B, LENS[n], MIX[n]["hidden_size"])).astype(np.float32) * 0.1
+        for n in LENS
+    }
+    t_cond = rng.normal(size=(B, GEOM["time_hidden_size"])).astype(np.float32)
+    mask = build_block_causal_mask(
+        jnp.asarray([LENS["vlm"]] * B), LENS["vlm"], LENS["proprio"], LENS["action"]
+    )
+    pos = {
+        "vlm": jnp.broadcast_to(vlm_position_ids(LENS["vlm"]), (B, LENS["vlm"])),
+        "proprio": jnp.broadcast_to(proprio_position_ids(1), (B, 1)),
+        "action": jnp.broadcast_to(action_position_ids(1, LENS["action"]), (B, LENS["action"])),
+    }
+    with torch.no_grad():
+        want = ref(
+            attention_mask=torch.from_numpy(np.asarray(mask, np.float32)),
+            position_ids_all={n: torch.from_numpy(np.asarray(pos[n])).long() for n in pos},
+            embeds_all={n: torch.from_numpy(embeds[n].copy()) for n in LENS},
+            time_cond=torch.from_numpy(t_cond),
+            kv_caches={}, cache_mode="no_append",
+        )["action"].numpy()
+    ours = joint_lib.joint_forward(
+        params, jcfg, {n: jnp.asarray(embeds[n]) for n in LENS}, pos, mask,
+        time_cond=jnp.asarray(t_cond),
+    )["action"]
+    np.testing.assert_allclose(np.asarray(ours), want, rtol=2e-4, atol=2e-5)
