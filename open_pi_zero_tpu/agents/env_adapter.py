@@ -11,7 +11,6 @@ resize the reference uses so Simpler success rates transfer.
 
 from __future__ import annotations
 
-import json
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -72,8 +71,9 @@ class SimplerAdapter(BaseEnvAdapter):
         self.action_normalization_type = action_normalization_type
         self.proprio_normalization_type = proprio_normalization_type
 
-        with open(dataset_statistics_path) as f:
-            self.dataset_statistics = json.load(f)
+        from open_pi_zero_tpu.data.normalization import load_statistics_file
+
+        self.dataset_statistics = load_statistics_file(dataset_statistics_path)
 
         if tokenizer is None:
             from open_pi_zero_tpu.processing import load_paligemma_tokenizer

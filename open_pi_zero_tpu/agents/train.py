@@ -213,10 +213,7 @@ class TrainAgent:
             params = convert.merge_pretrained(params, pretrained)
             log.info("loaded pretrained PaliGemma weights from %s", path)
         counts = opt_lib.trainable_param_count(params, self.train_cfg.train_vlm)
-        log.info(
-            "params: %s",
-            {k: f"{v / 1e9:.3f}B" for k, v in counts.items()},
-        )
+        log.info("params: %s", {k: f"{v:.3f}B" for k, v in counts.items()})
         return params
 
     def _action_lr_at(self, update: int) -> float:
@@ -261,22 +258,29 @@ class TrainAgent:
         return jax.tree.map(lambda *xs: np.stack(xs), *batches)
 
     def _shard_train_batch(self, batch: dict) -> dict:
-        """device_put with the batch axis on `data` — axis 1 when the accum
-        axis leads (must agree with make_jitted_train_step's in_shardings)."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        """Global batch assembly with the batch axis on `data` — axis 1 when
+        the accum axis leads (must agree with make_jitted_train_step's
+        in_shardings). Multi-host correctness is handled by shard_batch."""
+        from jax.sharding import PartitionSpec as P
 
         spec = P(None, "data") if self.grad_accum > 1 else P("data")
-        return jax.device_put(batch, NamedSharding(self.mesh, spec))
+        return shard_batch(self.mesh, batch, spec)
 
     # ------------------------------------------------------------------ #
     def run(self):
         """The training loop (reference train.py:249-495)."""
         assert self.dataset is not None, "no dataset configured"
+        from collections import deque
+
         it = self.dataset.iterator(self.step_batch_size)
         timer = Timer()
-        losses = []
+        # device-side metrics, host-synced only at log boundaries — a
+        # float() per step would block the host on every dispatch and
+        # serialize batch preprocessing into the step time
+        losses = deque(maxlen=self.log_freq)
+        update = int(self.state.step)
 
-        while int(self.state.step) < self.n_updates:
+        while update < self.n_updates:
             micro = []
             for _ in range(self.grad_accum):
                 micro.append(self.preprocess_batch(next(it)))
@@ -284,11 +288,11 @@ class TrainAgent:
             batch = self._shard_train_batch(self._stack_accum(micro))
 
             self.state, metrics = self.train_step(self.state, batch)
-            update = int(self.state.step)
-            losses.append(float(metrics["loss"]))
+            update += 1
+            losses.append(metrics["loss"])
 
             if update % self.log_freq == 0:
-                avg_loss = float(np.mean(losses[-self.log_freq:]))
+                avg_loss = float(np.mean(jax.device_get(list(losses))))
                 lr = float(self._action_lr_at(update))
                 elapsed = timer()
                 log.info(
@@ -354,8 +358,8 @@ class TrainAgent:
     # ------------------------------------------------------------------ #
     @log_execution_time(log)
     def save(self, update: int):
-        if jax.process_index() != 0:
-            return
+        # every process participates — orbax save is a collective with
+        # cross-process barriers; rank-0-only would deadlock a pod
         path = os.path.join(self.ckpt_dir, f"ckpt_{update}")
         ckpt_lib.save_checkpoint(
             path, jax.device_get(self.state),

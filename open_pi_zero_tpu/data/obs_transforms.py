@@ -100,32 +100,64 @@ def augment_image(image: tf.Tensor, seed: tf.Tensor, **kwargs) -> tf.Tensor:
     for i, name in enumerate(order):
         op_seed = tf.cast(seed, tf.int32) + 13 * (i + 1)
         args = kwargs.get(name, [])
-        if not isinstance(args, (list, tuple)):
-            args = [args]
-        if isinstance(args, dict):
+        if name == "random_resized_crop":
+            d = kwargs[name]
+            image = _random_resized_crop(
+                image, op_seed,
+                tf.constant(d["scale"], tf.float32),
+                tf.constant(d["ratio"], tf.float32),
+            )
+        elif isinstance(args, dict):
             image = AUGMENT_OPS[name](image, op_seed, **args)
         else:
-            if name == "random_resized_crop":
-                d = kwargs[name]
-                image = _random_resized_crop(
-                    image, op_seed,
-                    tf.constant(d["scale"], tf.float32),
-                    tf.constant(d["ratio"], tf.float32),
-                )
-            else:
-                image = AUGMENT_OPS[name](image, op_seed, *args)
+            if not isinstance(args, (list, tuple)):
+                args = [args]
+            image = AUGMENT_OPS[name](image, op_seed, *args)
         image = tf.clip_by_value(image, 0.0, 1.0)
     return tf.cast(tf.round(image * 255.0), tf.uint8)
 
 
-def image_dropout(
-    image: tf.Tensor, seed: tf.Tensor, dropout_prob: float, always_keep: tf.Tensor
-) -> tf.Tensor:
-    """Zero the whole image with probability dropout_prob unless
-    always_keep (reference obs_transforms.py image_dropout)."""
-    u = tf.random.stateless_uniform((), tf.cast(seed, tf.int32))
-    drop = tf.logical_and(u < dropout_prob, tf.logical_not(always_keep))
-    return tf.cond(drop, lambda: tf.zeros_like(image), lambda: image)
+def image_dropout(obs: dict, seed: tf.Tensor, dropout_prob: float) -> dict:
+    """Independently drop each REAL camera image with prob `dropout_prob`,
+    but always keep one randomly chosen real image; padding images are left
+    alone; the pad mask is updated for dropped cameras (reference
+    obs_transforms.py image_dropout semantics)."""
+    image_keys = [k for k in obs if k.startswith("image_")]
+    if not image_keys:
+        return obs
+    pad = obs.get("pad_mask_dict", {})
+    valid = tf.stack(
+        [
+            tf.reshape(pad[k], [-1])[0] if k in pad else tf.constant(True)
+            for k in image_keys
+        ]
+    )
+    shuffle_seed, drop_seed = tf.unstack(
+        tf.random.split(tf.cast(seed, tf.int64)), 2
+    )
+    keep_idx = tf.cond(
+        tf.reduce_any(valid),
+        lambda: tf.random.experimental.stateless_shuffle(
+            tf.where(valid)[:, 0], seed=shuffle_seed
+        )[0],
+        lambda: tf.constant(0, tf.int64),
+    )
+    rands = tf.random.stateless_uniform([len(image_keys)], seed=drop_seed)
+    keep = tf.logical_and(
+        valid,
+        tf.logical_or(
+            tf.range(len(image_keys), dtype=tf.int64) == keep_idx,
+            rands > dropout_prob,
+        ),
+    )
+    obs = dict(obs)
+    if "pad_mask_dict" in obs:
+        obs["pad_mask_dict"] = dict(obs["pad_mask_dict"])
+    for i, k in enumerate(image_keys):
+        obs[k] = tf.cond(keep[i], lambda k=k: obs[k], lambda k=k: tf.zeros_like(obs[k]))
+        if "pad_mask_dict" in obs and k in obs["pad_mask_dict"]:
+            obs["pad_mask_dict"][k] = tf.logical_and(obs["pad_mask_dict"][k], keep[i])
+    return obs
 
 
 def apply_obs_transforms(
@@ -160,15 +192,12 @@ def apply_obs_transforms(
                 decoded,
                 fn_output_signature=tf.uint8,
             )
-        if train and image_dropout_prob > 0:
-            keep = frame["observation"]["pad_mask_dict"][key][0] if "pad_mask_dict" in frame["observation"] else tf.constant(False)
-            drop_seed = tf.stack([tf.cast(seed, tf.int32) + 7, tf.cast(seed, tf.int32) + 11])
-            decoded = tf.map_fn(
-                lambda x: image_dropout(x, drop_seed, image_dropout_prob, keep),
-                decoded,
-                fn_output_signature=tf.uint8,
-            )
         obs[key] = decoded
+    if train and image_dropout_prob > 0:
+        drop_seed = tf.stack(
+            [tf.cast(seed, tf.int64) + 7, tf.cast(seed, tf.int64) + 11]
+        )
+        obs = image_dropout(obs, drop_seed, image_dropout_prob)
     frame = dict(frame)
     frame["observation"] = obs
     return frame

@@ -28,7 +28,9 @@ def _fingerprint(kwargs: dict) -> str:
         try:
             fn_src = inspect.getsource(fn)
         except (OSError, TypeError):
-            fn_src = repr(fn)
+            # source unavailable (partial / C impl): use a stable identity,
+            # never repr() — its memory address would bust the cache every run
+            fn_src = f"{getattr(fn, '__module__', '')}.{getattr(fn, '__qualname__', type(fn).__name__)}"
     parts = [
         kwargs.get("name", ""),
         str(sorted((kwargs.get("image_obs_keys") or {}).items())),
@@ -342,14 +344,3 @@ def allocate_threads(n: Optional[int], weights: np.ndarray) -> np.ndarray:
 
 def numpy_iterator(ds: tf.data.Dataset):
     return ds.as_numpy_iterator()
-
-
-def host_sharded_iterator(ds: tf.data.Dataset, batch_size: int):
-    """Per-host feed: each JAX process shards the stream so the global
-    batch is disjoint across hosts (replaces the reference's per-rank
-    DataLoader, train.py:142-156)."""
-    import jax
-
-    ds = ds.shard(jax.process_count(), jax.process_index())
-    ds = ds.batch(batch_size, drop_remainder=True)
-    yield from ds.as_numpy_iterator()

@@ -235,6 +235,11 @@ def episode_dataset(
             gen, output_signature=tf.TensorSpec((), tf.string)
         )
     else:
+        if start or end < spec.num_episodes(name):
+            # percent subsplits index episodes by stream position: parallel
+            # interleave would make split membership depend on reader
+            # parallelism (train/val leakage) — force sequential order
+            num_parallel_reads = 1
         ds = tf.data.TFRecordDataset(files, num_parallel_reads=num_parallel_reads)
     if start or end < spec.num_episodes(name):
         ds = ds.skip(start).take(end - start)

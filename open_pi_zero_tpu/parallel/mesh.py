@@ -52,10 +52,20 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
-def shard_batch(mesh: Mesh, batch):
-    """device_put every leaf with its batch axis over `data`."""
-    s = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+def shard_batch(mesh: Mesh, batch, spec: P = P(DATA_AXIS)):
+    """Place every leaf with its batch axis over `data`. On multi-host
+    meshes the input is the HOST-LOCAL shard (each process feeds a disjoint
+    slice) and must be assembled into the global array — device_put with a
+    global sharding would silently treat the local batch as the whole
+    global batch (1/num_hosts of the configured tokens)."""
+    s = NamedSharding(mesh, spec)
+
+    def put(x):
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(s, np.asarray(x))
+        return jax.device_put(x, s)
+
+    return jax.tree.map(put, batch)
 
 
 def replicate(mesh: Mesh, tree):

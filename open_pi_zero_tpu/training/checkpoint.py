@@ -29,11 +29,13 @@ def save_checkpoint(path: str, state: TrainState, extra: Optional[dict] = None):
     truncated file that parses as valid-but-empty metadata."""
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
+        # collective: EVERY process must call save (orbax barriers inside)
         ckptr.save(os.path.join(path, STATE_DIR), state, force=True)
-    tmp = os.path.join(path, META_FILE + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(extra or {}, f)
-    os.replace(tmp, os.path.join(path, META_FILE))
+    if jax.process_index() == 0:
+        tmp = os.path.join(path, META_FILE + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(extra or {}, f)
+        os.replace(tmp, os.path.join(path, META_FILE))
 
 
 def restore_checkpoint(path: str, abstract_state: TrainState) -> tuple:

@@ -243,3 +243,60 @@ def test_resize_is_lanczos_uint8():
     out = resize_image(img, (4, 4))
     assert out.dtype == tf.uint8 and out.shape == (4, 4, 3)
     assert abs(int(out.numpy().mean()) - 128) <= 1
+
+
+class TestImageDropout:
+    def _frame(self, n_cams=2):
+        rng = np.random.default_rng(0)
+        obs = {"pad_mask_dict": {}}
+        for i in range(n_cams):
+            img = rng.integers(1, 255, size=(24, 24, 3), dtype=np.uint8)
+            obs[f"image_cam{i}"] = tf.constant(tf.io.encode_jpeg(img).numpy())[None]
+            obs["pad_mask_dict"][f"image_cam{i}"] = tf.constant([True])
+        return {"observation": obs}
+
+    def test_dropout_keeps_exactly_one_at_prob_one(self):
+        from open_pi_zero_tpu.data.obs_transforms import apply_obs_transforms
+
+        out = apply_obs_transforms(
+            self._frame(2), seed=tf.constant(3),
+            resize_size={"cam0": (24, 24), "cam1": (24, 24)},
+            image_dropout_prob=1.0, train=True,
+        )
+        obs = out["observation"]
+        kept = [
+            k for k in ("image_cam0", "image_cam1")
+            if int(tf.reduce_sum(tf.cast(obs[k], tf.int32))) > 0
+        ]
+        assert len(kept) == 1  # one randomly chosen camera always survives
+        dropped = ({"image_cam0", "image_cam1"} - set(kept)).pop()
+        assert not bool(obs["pad_mask_dict"][dropped].numpy()[0])
+        assert bool(obs["pad_mask_dict"][kept[0]].numpy()[0])
+
+    def test_no_dropout_at_prob_zero(self):
+        from open_pi_zero_tpu.data.obs_transforms import apply_obs_transforms
+
+        out = apply_obs_transforms(
+            self._frame(2), seed=tf.constant(3),
+            resize_size={"cam0": (24, 24), "cam1": (24, 24)},
+            image_dropout_prob=0.0, train=True,
+        )
+        obs = out["observation"]
+        for k in ("image_cam0", "image_cam1"):
+            assert int(tf.reduce_sum(tf.cast(obs[k], tf.int32))) > 0
+
+    def test_padding_image_never_counts_as_kept(self):
+        from open_pi_zero_tpu.data.obs_transforms import apply_obs_transforms
+
+        frame = self._frame(1)
+        frame["observation"]["image_pad"] = tf.constant([b""])
+        frame["observation"]["pad_mask_dict"]["image_pad"] = tf.constant([False])
+        out = apply_obs_transforms(
+            frame, seed=tf.constant(5),
+            resize_size={"cam0": (24, 24), "pad": (24, 24)},
+            image_dropout_prob=1.0, train=True,
+        )
+        obs = out["observation"]
+        # the only real camera survives; padding stays padding
+        assert int(tf.reduce_sum(tf.cast(obs["image_cam0"], tf.int32))) > 0
+        assert not bool(obs["pad_mask_dict"]["image_pad"].numpy()[0])
