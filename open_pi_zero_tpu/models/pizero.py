@@ -419,7 +419,10 @@ def generate_text(
 
     def step(carry, i):
         cache, tok, done = carry
-        emb = params["embed_tokens"][tok]  # [B, 1, Dv]
+        # jnp.take (not __getitem__): params may be host numpy arrays
+        # (checkpoint converters return numpy), which cannot be indexed by
+        # a traced token
+        emb = jnp.take(jnp.asarray(params["embed_tokens"]), tok, axis=0)  # [B, 1, Dv]
         kv_len = s + i + 1  # slots valid after this step's append
         mask = jnp.where(cols[None, None, None, :] < kv_len, 0.0, MASK_NEG)
         mask = jnp.broadcast_to(mask, (b, 1, 1, total)).astype(jnp.float32)

@@ -296,3 +296,101 @@ def test_infer_action_parity(models, monkeypatch):
         action0=jnp.asarray(a0),
     )
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_infer_text_logits_parity():
+    """PaliGemma text path ('append' cache mode + tied lm_head + vlm final
+    norm) vs the reference infer_text prefill (pizero.py:559-593): full
+    logits must match, and our greedy first token must equal the
+    reference's argmax continuation."""
+    _install_stubs()
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from open_pi_zero_tpu.config import ConfigDict, dataclass_replace
+    from open_pi_zero_tpu.models import convert
+    from open_pi_zero_tpu.models import pizero as ours
+    from src.model.vla.pizero import PiZero
+
+    mix = {k: dict(v) for k, v in MIX.items()}
+    mix["vlm"]["use_final_norm"] = True
+    cfg_ref = ConfigDict(
+        {
+            **GEOM,
+            "use_lm_head": True,
+            "mixture": {k: ConfigDict(v) for k, v in mix.items()},
+            "vision": {
+                "_target_": "src.model.paligemma.siglip.SiglipVisionModel",
+                "config": ConfigDict({**VIS, "lora": None}),
+            },
+            "vision_projector": {
+                "_target_": "src.model.paligemma.siglip.PaliGemmaMultiModalProjector",
+                "config": ConfigDict(
+                    {"vision_config": ConfigDict(
+                        {"hidden_size": VIS["hidden_size"],
+                         "projection_dim": MIX["vlm"]["hidden_size"]}
+                    )}
+                ),
+            },
+            "joint": {
+                "_target_": "src.model.vla.joint_model.JointModel",
+                "config": ConfigDict(
+                    {**JOINT, "time_hidden_size": GEOM["time_hidden_size"],
+                     "mixture": {k: ConfigDict(v) for k, v in mix.items()}}
+                ),
+            },
+        }
+    )
+    torch.manual_seed(3)
+    ref = PiZero(cfg_ref)
+    ref.eval()
+
+    base = _our_config()
+    mixtures = tuple(
+        dataclass_replace(m, use_final_norm=True) if i == 0 else m
+        for i, m in enumerate(base.joint.mixtures)
+    )
+    cfg = dataclass_replace(
+        base, use_lm_head=True,
+        joint=dataclass_replace(base.joint, mixtures=mixtures),
+    )
+    params = convert.convert_vla_state_dict(dict(ref.state_dict()), cfg)
+
+    rng = np.random.default_rng(9)
+    n_img = VIS["num_image_tokens"]
+    s = n_img + 3
+    ids = np.full((1, s), 7, np.int64)
+    ids[:, :n_img] = GEOM["image_token_index"]
+    ids[:, n_img] = 2
+    pix = rng.normal(size=(1, 3, 28, 28)).astype(np.float32)
+    am = np.ones((1, s), np.int64)
+
+    # reference quirk: build_causal_mask_and_position_ids_for_text reads a
+    # module-global `bsz` that only exists when pizero.py runs as __main__
+    # (its smoke script defines it at module scope); inject it to exercise
+    # the import path
+    import src.model.vla.pizero as ref_mod
+
+    ref_mod.bsz = 1
+    with torch.no_grad():
+        want = ref.infer_text(
+            input_ids=torch.from_numpy(ids),
+            pixel_values=torch.from_numpy(pix),
+            attention_mask=torch.from_numpy(am),
+            kv_cache=ref.build_text_cache(),
+        )["logits"].numpy()
+
+    got = np.asarray(
+        ours.infer_text_logits(
+            params, cfg, jnp.asarray(ids, jnp.int32),
+            jnp.asarray(pix.transpose(0, 2, 3, 1)),
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+    toks = ours.generate_text(
+        params, cfg, jnp.asarray(ids, jnp.int32),
+        jnp.asarray(pix.transpose(0, 2, 3, 1)), max_new_tokens=3,
+    )
+    assert int(toks[0, 0]) == int(want[0, -1].argmax())
