@@ -82,7 +82,14 @@ class EvalAgent:
                 jax.random.key(0), self.model_cfg, dtype=self.dtype
             )
             params = ckpt_lib.restore_params(path, abstract)
-        return convert.to_dtype(params, self.dtype)
+        params = convert.to_dtype(params, self.dtype)
+        if self.cfg.get("quantize"):
+            # int8 serving: halves trunk weight streaming (~4 ms of the
+            # Euler loop on v5e at bridge scale) at some drift vs bf16
+            from open_pi_zero_tpu.ops import lora as lora_lib
+
+            params["joint"] = lora_lib.quantize_base_weights(params["joint"])
+        return params
 
     # ------------------------------------------------------------------ #
     def act(self, inputs: dict) -> np.ndarray:
