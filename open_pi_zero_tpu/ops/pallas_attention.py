@@ -59,11 +59,16 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale, softcap, g, lq):
     v = v_ref[0, 0]
     lkv = k.shape[0]
 
+    # fp32 inputs: HIGHEST keeps Mosaic from emulating the fp32 matmul with
+    # low-pass bf16 products (measured ~5e-3 drift vs XLA on v5e otherwise);
+    # bf16 inputs already accumulate fp32 via preferred_element_type
+    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
     s = jax.lax.dot_general(
         q,
         k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=prec,
     )  # [R, Lkv] fp32
     s = s * scale
     if softcap is not None:
@@ -79,6 +84,7 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale, softcap, g, lq):
         v,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=prec,
     )
     out_ref[0, 0] = o.astype(out_ref.dtype)
 
