@@ -117,8 +117,7 @@ def _layer(
         lp = lps[n]
         h = mx.norm(lp["input_norm"], mcfg, eps, hiddens[n], time_conds.get(n))
         normed[n] = h
-        q = mx.q_proj(lp["attn"], cfg, h, mcfg.lora_scaling)
-        k, v = mx.kv_proj(lp["attn"], cfg, h, mcfg.lora_scaling)
+        q, k, v = mx.qkv_proj(lp["attn"], cfg, h, mcfg.lora_scaling)
         cos, sin = ropes[n]
         qs[n], ks[n] = mx.rope_qk(q, k, cos, sin)
         vs[n] = v
@@ -321,8 +320,7 @@ def joint_text_forward(
         hidden = carry
         lp, k_c, v_c = xs
         h = mx.norm(lp["input_norm"], mcfg, eps, hidden, None)
-        q = mx.q_proj(lp["attn"], cfg, h, mcfg.lora_scaling)
-        k, v = mx.kv_proj(lp["attn"], cfg, h, mcfg.lora_scaling)
+        q, k, v = mx.qkv_proj(lp["attn"], cfg, h, mcfg.lora_scaling)
         q, k = mx.rope_qk(q, k, cos, sin)
         k_c = jax.lax.dynamic_update_slice(k_c, k, (0, offset, 0, 0))
         v_c = jax.lax.dynamic_update_slice(v_c, v, (0, offset, 0, 0))

@@ -170,15 +170,38 @@ def kv_proj(
     return k.reshape(shape), v.reshape(shape)
 
 
+def qkv_proj(
+    lp_attn: dict, joint: JointConfig, x: jax.Array, scaling: float = 1.0
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(q, k, v) — one fused matmul when the serving layout is present
+    (models/fuse.py), separate LoRA-aware projections otherwise."""
+    if "qkv" in lp_attn:
+        b, s, _ = x.shape
+        nq = joint.num_attention_heads * joint.head_dim
+        nkv = joint.num_key_value_heads * joint.head_dim
+        qkv = lora_lib.proj(lp_attn, "qkv", x)
+        q = qkv[..., :nq].reshape(b, s, joint.num_attention_heads, joint.head_dim)
+        k = qkv[..., nq : nq + nkv].reshape(b, s, joint.num_key_value_heads, joint.head_dim)
+        v = qkv[..., nq + nkv :].reshape(b, s, joint.num_key_value_heads, joint.head_dim)
+        return q, k, v
+    return (q_proj(lp_attn, joint, x, scaling), *kv_proj(lp_attn, joint, x, scaling))
+
+
 def o_proj(lp_attn: dict, x: jax.Array, scaling: float = 1.0) -> jax.Array:
     """x: [B, S, Hq*Dh] -> [B, S, D]."""
     return lora_lib.proj(lp_attn, "o", x, scaling)
 
 
 def mlp(lp_mlp: dict, x: jax.Array, scaling: float = 1.0) -> jax.Array:
-    """geglu: down(gelu_tanh(gate(x)) * up(x)) — reference paligemma/modules.py:70-95."""
-    gate = lora_lib.proj(lp_mlp, "gate", x, scaling)
-    up = lora_lib.proj(lp_mlp, "up", x, scaling)
+    """geglu: down(gelu_tanh(gate(x)) * up(x)) — reference paligemma/modules.py:70-95.
+    One fused gate+up matmul when the serving layout is present."""
+    if "gateup" in lp_mlp:
+        gu = lora_lib.proj(lp_mlp, "gateup", x)
+        i = gu.shape[-1] // 2
+        gate, up = gu[..., :i], gu[..., i:]
+    else:
+        gate = lora_lib.proj(lp_mlp, "gate", x, scaling)
+        up = lora_lib.proj(lp_mlp, "up", x, scaling)
     h = (jax.nn.gelu(gate.astype(jnp.float32), approximate=True).astype(x.dtype) * up)
     return lora_lib.proj(lp_mlp, "down", h, scaling)
 

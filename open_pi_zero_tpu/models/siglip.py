@@ -82,9 +82,13 @@ def patchify(pixel_values: jax.Array, patch: int) -> jax.Array:
 def _encoder_layer(x: jax.Array, lp: dict, cfg: SiglipConfig, eps: float) -> jax.Array:
     b, n, d = x.shape
     h = layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"], eps)
-    q = linear(h, lp["attn"]["q"]["kernel"], lp["attn"]["q"]["bias"])
-    k = linear(h, lp["attn"]["k"]["kernel"], lp["attn"]["k"]["bias"])
-    v = linear(h, lp["attn"]["v"]["kernel"], lp["attn"]["v"]["bias"])
+    if "qkv" in lp["attn"]:  # fused serving layout (models/fuse.py)
+        qkv = linear(h, lp["attn"]["qkv"]["kernel"], lp["attn"]["qkv"]["bias"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        q = linear(h, lp["attn"]["q"]["kernel"], lp["attn"]["q"]["bias"])
+        k = linear(h, lp["attn"]["k"]["kernel"], lp["attn"]["k"]["bias"])
+        v = linear(h, lp["attn"]["v"]["kernel"], lp["attn"]["v"]["bias"])
     hd = cfg.head_dim
     q = q.reshape(b, n, cfg.num_attention_heads, hd)
     k = k.reshape(b, n, cfg.num_attention_heads, hd)

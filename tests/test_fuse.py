@@ -1,0 +1,68 @@
+"""Serving-time projection fusion: fused layout must be numerically
+identical to the canonical layout for inference and text generation, and
+must refuse un-merged LoRA / quantized trees."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from open_pi_zero_tpu.config import LoraConfig, dataclass_replace, tiny_pizero_config
+from open_pi_zero_tpu.models import fuse, pizero
+from open_pi_zero_tpu.ops import lora as lora_lib
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_pizero_config(num_inference_steps=2)
+    params = pizero.init_params(jax.random.key(0), cfg)
+    ids = jnp.zeros((1, cfg.max_image_text_tokens), jnp.int32)
+    ids = ids.at[:, : cfg.siglip.num_image_tokens].set(cfg.image_token_index)
+    ids = ids.at[:, cfg.siglip.num_image_tokens].set(2)
+    am = (ids != 0).astype(jnp.int32)
+    img = jnp.asarray(np.random.default_rng(1).normal(size=(1, 28, 28, 3)), jnp.float32)
+    prop = jnp.full((1, 1, cfg.proprio_dim), 0.1)
+    return cfg, params, ids, am, img, prop
+
+
+def test_fused_infer_action_identical(setup):
+    cfg, params, ids, am, img, prop = setup
+    fused = fuse.fuse_for_serving(params)
+    assert "qkv" in fused["joint"]["mixtures"]["vlm"]["layers"]["attn"]
+    assert "gateup" in fused["joint"]["mixtures"]["vlm"]["layers"]["mlp"]
+    rng = jax.random.key(2)
+    want = pizero.infer_action(params, cfg, rng, ids, img, am, prop)
+    got = pizero.infer_action(fused, cfg, rng, ids, img, am, prop)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_text_generation_identical(setup):
+    cfg, params, ids, am, img, prop = setup
+    fused = fuse.fuse_for_serving(params)
+    want = pizero.generate_text(params, cfg, ids[:, :6], img, max_new_tokens=4)
+    got = pizero.generate_text(fused, cfg, ids[:, :6], img, max_new_tokens=4)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fusion_refuses_lora_and_quantized(setup):
+    cfg, params, *_ = setup
+    lcfg = dataclass_replace(
+        cfg,
+        joint=dataclass_replace(
+            cfg.joint,
+            mixtures=tuple(
+                dataclass_replace(m, use_lora=(i == 0), lora=LoraConfig(r=2))
+                for i, m in enumerate(cfg.joint.mixtures)
+            ),
+        ),
+    )
+    lora_params = pizero.init_params(jax.random.key(0), lcfg)
+    with pytest.raises(ValueError, match="LoRA"):
+        fuse.fuse_for_serving(lora_params)
+    # merged trees fuse fine
+    fuse.fuse_for_serving(lora_lib.merge_lora(lora_params))
+
+    qparams = dict(params)
+    qparams["joint"] = lora_lib.quantize_base_weights(params["joint"])
+    with pytest.raises(ValueError, match="int8"):
+        fuse.fuse_for_serving(qparams)
