@@ -134,12 +134,7 @@ class TrainAgent:
         self.train_step = make_jitted_train_step(
             self.model_cfg, self.train_cfg, self.tx, self.mesh, self.grad_accum
         )
-        self._infer = jax.jit(
-            lambda params, rng, b: pizero.infer_action(
-                params, self.model_cfg, rng,
-                b["input_ids"], b["pixel_values"], b["attention_mask"], b["proprios"],
-            )
-        )
+        self._infer_fn = None  # compiled lazily on first validate()
 
         # ---- schedule ----
         self.n_updates = int(cfg.get("n_updates", 0))
@@ -326,6 +321,14 @@ class TrainAgent:
         inference (reference train.py:413-459)."""
         it = self.val_dataset.iterator(self.step_batch_size)
         n_batches = max(1, self.eval_size // max(1, self.step_batch_size))
+        if self._infer_fn is None:
+            self._infer_fn = jax.jit(
+                lambda params, rng, b: pizero.infer_action(
+                    params, self.model_cfg, rng,
+                    b["input_ids"], b["pixel_values"], b["attention_mask"],
+                    b["proprios"],
+                )
+            )
         eval_params = avg_lib.eval_params(self.state.avg, self.state.params)
         accs, l1s = [], []
         rng = jax.random.key(self.seed + update)
@@ -336,7 +339,7 @@ class TrainAgent:
                 break
             rng, sub = jax.random.split(rng)
             gt = batch.pop("actions")
-            pred = self._infer(eval_params, sub, shard_batch(self.mesh, batch))
+            pred = self._infer_fn(eval_params, sub, shard_batch(self.mesh, batch))
             accs.append(
                 np.asarray(get_action_accuracy(jnp.asarray(gt), pred, self.eval_thresholds))
             )

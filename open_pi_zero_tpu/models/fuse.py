@@ -14,6 +14,12 @@ The forward paths (models/mixture.py, models/siglip.py) detect the fused
 keys ("qkv", "gateup") and split the single matmul's output; numerics are
 identical up to XLA reassociation (concatenating columns of the weight
 matrix does not change any dot product).
+
+Tensor parallelism: fuse AFTER deciding the layout — parallel/sharding.py
+deliberately has no rule for "qkv"/"gateup" (sharding a concatenated out
+dim would misalign the q|k|v segment boundaries with shard boundaries), so
+fused trees stay replicated on the model axis. TP serving should keep the
+canonical layout.
 """
 
 from __future__ import annotations
