@@ -38,6 +38,19 @@ def add_image_tokens_to_prompt(
     return f"{image_token * image_seq_len}{bos_token}{prefix_prompt}\n"
 
 
+def _setup_paligemma_tokenizer(tokenizer):
+    """Register the <image>/<loc*>/<seg*> extra tokens and disable auto
+    bos/eos (shared by VLAProcessor and PaliGemmaProcessor)."""
+    tokenizer.add_special_tokens({"additional_special_tokens": [IMAGE_TOKEN]})
+    tokenizer.add_tokens(
+        [f"<loc{i:04d}>" for i in range(1024)]
+        + [f"<seg{i:03d}>" for i in range(128)]
+    )
+    tokenizer.add_bos_token = False
+    tokenizer.add_eos_token = False
+    return tokenizer.convert_tokens_to_ids(IMAGE_TOKEN)
+
+
 class VLAProcessor:
     """Tokenize instruction prompts and normalize images
     (reference processing.py:63-136)."""
@@ -52,14 +65,7 @@ class VLAProcessor:
         self.image_seq_length = num_image_tokens
         self.max_seq_len = max_seq_len
         self.tokenizer_padding = tokenizer_padding
-
-        tokenizer.add_special_tokens({"additional_special_tokens": [IMAGE_TOKEN]})
-        extra = [f"<loc{i:04d}>" for i in range(1024)]
-        extra += [f"<seg{i:03d}>" for i in range(128)]
-        tokenizer.add_tokens(extra)
-        self.image_token_id = tokenizer.convert_tokens_to_ids(IMAGE_TOKEN)
-        tokenizer.add_bos_token = False
-        tokenizer.add_eos_token = False
+        self.image_token_id = _setup_paligemma_tokenizer(tokenizer)
         self.tokenizer = tokenizer
 
     def __call__(
@@ -104,6 +110,7 @@ class FakeTokenizer:
     def __init__(self, image_token_id: int = 257152):
         self.vocab = {"<pad>": 0, "<eos>": 1, "<bos>": 2, "\n": 3}
         self._image_token_id = image_token_id
+        self._next_word_id = 100
         self.bos_token = "<bos>"
         self.eos_token = "<eos>"
         self.add_bos_token = False
@@ -136,7 +143,14 @@ class FakeTokenizer:
         if newline:
             rest = rest[:-1]
         for w in rest.split():
-            self.vocab.setdefault(w, 100 + (hash(w) % 9000))
+            # stable word ids from a counter (hash() varies per process via
+            # PYTHONHASHSEED); never hand out the image token id
+            if w not in self.vocab:
+                nxt = self._next_word_id
+                if nxt == self._image_token_id:
+                    nxt += 1
+                self.vocab[w] = nxt
+                self._next_word_id = nxt + 1
             ids.append(self.vocab[w])
         if newline:
             ids.append(self.vocab["\n"])
@@ -165,14 +179,7 @@ class PaliGemmaProcessor:
     def __init__(self, tokenizer, num_image_tokens: int, image_size: int):
         self.image_seq_length = num_image_tokens
         self.image_size = image_size
-        tokenizer.add_special_tokens({"additional_special_tokens": [IMAGE_TOKEN]})
-        tokenizer.add_tokens(
-            [f"<loc{i:04d}>" for i in range(1024)]
-            + [f"<seg{i:03d}>" for i in range(128)]
-        )
-        self.image_token_id = tokenizer.convert_tokens_to_ids(IMAGE_TOKEN)
-        tokenizer.add_bos_token = False
-        tokenizer.add_eos_token = False
+        self.image_token_id = _setup_paligemma_tokenizer(tokenizer)
         self.tokenizer = tokenizer
 
     def __call__(self, text: List[str], images) -> dict:
@@ -195,7 +202,7 @@ class PaliGemmaProcessor:
                 for im in pil
             ]
         )
-        pixel_values = ((arr.astype(np.float32) / 255.0) - 0.5) / 0.5
+        pixel_values = process_images(arr)
         strings = [
             add_image_tokens_to_prompt(t, self.tokenizer.bos_token, self.image_seq_length)
             for t in text

@@ -17,7 +17,7 @@ def get_action_accuracy(
     """Returns [len(thresholds)] accuracies."""
     diff = jnp.abs(gt - pred).reshape(-1, gt.shape[-1])
     accs = [
-        jnp.mean((jnp.mean((diff < th).astype(jnp.float32), axis=1) >= 1.0).astype(jnp.float32))
+        jnp.mean(jnp.all(diff < th, axis=1).astype(jnp.float32))
         for th in thresholds
     ]
     return jnp.stack(accs)

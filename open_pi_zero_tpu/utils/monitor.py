@@ -63,17 +63,19 @@ class MainRankFilter(logging.Filter):
 
     def __init__(self, main_rank: Optional[bool] = None):
         super().__init__()
-        if main_rank is None:
-            try:
-                import jax
-
-                main_rank = jax.process_index() == 0
-            except Exception:
-                main_rank = True
-        self.main_rank = bool(main_rank)
+        self._forced = main_rank  # None -> decide per record
 
     def filter(self, record):
-        return self.main_rank
+        if self._forced is not None:
+            return bool(self._forced)
+        # evaluated lazily: a filter built before jax.distributed.initialize()
+        # would otherwise snapshot process_index()==0 on every host
+        try:
+            import jax
+
+            return jax.process_index() == 0
+        except Exception:
+            return True
 
 
 def main_process_only(func):

@@ -27,7 +27,9 @@ def _synthetic_dataset(root: str):
     from open_pi_zero_tpu.data import rlds
 
     d = os.path.join(root, "bridge_dataset")
-    if os.path.exists(os.path.join(d, rlds.FEATURES_FILE)):
+    if os.path.exists(os.path.join(d, rlds.FEATURES_FILE)) and os.path.exists(
+        os.path.join(d, rlds.INFO_FILE)
+    ):
         return root
     rng = np.random.default_rng(0)
     leaves = [
@@ -72,6 +74,7 @@ def main():
 
     if args.synthetic or args.data_dir is None:
         args.data_dir = _synthetic_dataset("/tmp/opz_bench_data")
+        args.mix = "bridge"  # the synthetic fixture is bridge-shaped
 
     cfg = ConfigDict({
         "dataset_mix": args.mix,

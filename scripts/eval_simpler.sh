@@ -8,6 +8,8 @@ set -euo pipefail
 CONFIG=${1:?usage: eval_simpler.sh <config.yaml> <checkpoint> [n_episodes]}
 CKPT=${2:?need checkpoint path}
 N=${3:-240}
+shift 2
+[[ $# -gt 0 ]] && shift  # optional n_episodes; the rest are key=value overrides
 
 TASKS=(
   widowx_carrot_on_plate

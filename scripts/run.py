@@ -23,7 +23,7 @@ def main():
     parser.add_argument("--config", required=True, help="YAML experiment config")
     parser.add_argument(
         "--mode", choices=["train", "eval"], default=None,
-        help="override auto-detection (train if the config has a data block)",
+        help="override auto-detection (eval if the config has an env block, else train)",
     )
     parser.add_argument(
         "--distributed", action="store_true",

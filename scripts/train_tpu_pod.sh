@@ -19,8 +19,11 @@ export TF_CPP_MIN_LOG_LEVEL=${TF_CPP_MIN_LOG_LEVEL:-2}
 export TF_FORCE_GPU_ALLOW_GROWTH=false
 
 ARGS=(--config "$CONFIG")
-# multi-host when the TPU runtime reports more than one worker
-if [[ -n "${TPU_WORKER_HOSTNAMES:-}" || -n "${MEGASCALE_COORDINATOR_ADDRESS:-}" ]]; then
+# Multi-host: auto-detect from TPU runtime env vars when present, but those
+# are not guaranteed shell exports on every launcher — set OPZ_DISTRIBUTED=1
+# explicitly on pods to be safe (silently skipping initialize() would make
+# every host train independently).
+if [[ "${OPZ_DISTRIBUTED:-}" == "1" || -n "${TPU_WORKER_HOSTNAMES:-}" || -n "${MEGASCALE_COORDINATOR_ADDRESS:-}" ]]; then
   ARGS+=(--distributed)
 fi
 
