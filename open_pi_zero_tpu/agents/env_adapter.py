@@ -11,7 +11,7 @@ resize the reference uses so Simpler success rates transfer.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

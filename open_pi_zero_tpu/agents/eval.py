@@ -12,8 +12,6 @@ from __future__ import annotations
 import logging
 import os
 import random
-from collections import defaultdict
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

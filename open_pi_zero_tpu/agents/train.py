@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import logging
 import os
-import time
 from typing import Optional
 
 import jax
@@ -34,7 +33,6 @@ from open_pi_zero_tpu.training import averaging as avg_lib
 from open_pi_zero_tpu.training import checkpoint as ckpt_lib
 from open_pi_zero_tpu.training import optimizer as opt_lib
 from open_pi_zero_tpu.training.train_step import (
-    TrainState,
     init_train_state,
     make_jitted_train_step,
 )

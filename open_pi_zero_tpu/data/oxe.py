@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import copy
 import enum
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, List, Sequence, Tuple
 
 import tensorflow as tf
 

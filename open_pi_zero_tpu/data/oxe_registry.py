@@ -21,17 +21,15 @@ pipeline.make_dataset_from_rlds: action [T, A] float32 with gripper last
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Tuple
+from typing import Dict, List, Tuple
 
 import tensorflow as tf
 
 from open_pi_zero_tpu.data.oxe import (
     ActionEncoding,
     ProprioEncoding,
-    binarize_gripper_actions,
     invert_gripper_actions,
     rel2abs_gripper_actions,
-    relabel_actions_from_proprio,
 )
 
 # --------------------------------------------------------------------------- #

@@ -22,8 +22,6 @@ TPU-native re-design:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -8,8 +8,6 @@ what makes bf16 checkpoint outputs transfer (SURVEY.md "hard parts").
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

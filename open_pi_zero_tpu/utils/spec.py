@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import importlib
 from functools import partial
-from typing import Any, Callable, Dict, Tuple, Union
+from typing import Callable, Dict, Union
 
 KEYS = {"module", "name", "args", "kwargs"}
 

@@ -28,7 +28,6 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from open_pi_zero_tpu.config import PiZeroConfig
     from open_pi_zero_tpu.models import fuse, pizero
