@@ -88,7 +88,19 @@ class TrainAgent:
         state = init_train_state(
             self.params, self.tx, jax.random.key(self.seed), self.train_cfg
         )
-        self.state = replicate(self.mesh, state)
+        self._state_sharding = None
+        if bool(cfg.get("zero1", False)) and n_devices > 1:
+            # ZeRO-1: optimizer states + EMA sharded over data (the 3B model
+            # with Adam states does not fit a 16 GB v5e otherwise)
+            from open_pi_zero_tpu.training.train_step import (
+                shard_state_zero1,
+                zero1_state_sharding,
+            )
+
+            self.state = shard_state_zero1(state, self.mesh)
+            self._state_sharding = zero1_state_sharding(state, self.mesh)
+        else:
+            self.state = replicate(self.mesh, state)
         del self.params  # single source of truth: state.params
 
         self.cnt_batch = 0
@@ -130,7 +142,8 @@ class TrainAgent:
 
         # ---- compiled steps ----
         self.train_step = make_jitted_train_step(
-            self.model_cfg, self.train_cfg, self.tx, self.mesh, self.grad_accum
+            self.model_cfg, self.train_cfg, self.tx, self.mesh, self.grad_accum,
+            state_sharding=self._state_sharding,
         )
         self._infer_fn = None  # compiled lazily on first validate()
 

@@ -239,6 +239,9 @@ class JointConfig:
     # proprio expert shares the action expert's weights (reference
     # pizero.py:262-264 tie_action_proprio_weights; structural here)
     tie_proprio: bool = True
+    # rematerialize each trunk layer in the backward pass (training-memory
+    # vs FLOPs trade; needed to fit large batches on 16 GB v5e chips)
+    remat: bool = False
 
     def mixture(self, name: str) -> MixtureConfig:
         return self.mixtures[self.mixture_names.index(name)]
@@ -381,6 +384,7 @@ def pizero_config_from_dict(cfg: ConfigDict) -> PiZeroConfig:
         time_hidden_size=cfg.get("time_hidden_size", 256),
         mixture_names=names,
         mixtures=tuple(mixtures),
+        remat=bool(cfg.get("remat", False)),
     )
     return PiZeroConfig(
         vocab_size=cfg.get("vocab_size", 257216),

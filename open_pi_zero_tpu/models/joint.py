@@ -185,9 +185,16 @@ def joint_forward(
 
     stacked = _layer_params(params, cfg, names)
 
+    def one_layer(carry, lps):
+        return _layer(cfg, names, lps, carry, ropes, mask, time_conds)[0]
+
+    if cfg.remat:
+        # recompute each layer's activations in the backward pass: training
+        # memory drops from O(L) to O(1) layers (jax.checkpoint)
+        one_layer = jax.checkpoint(one_layer)
+
     def body(carry, lps):
-        new, _ = _layer(cfg, names, lps, carry, ropes, mask, time_conds)
-        return new, None
+        return one_layer(carry, lps), None
 
     # uniform scan over all L layers: the final layer's o_proj/MLP of the
     # `final_skip` mixtures is dead compute the reference skips

@@ -118,15 +118,53 @@ def make_train_step(
     return step
 
 
+def zero1_state_sharding(state: TrainState, mesh) -> TrainState:
+    """ZeRO-1 sharding tree for a TrainState: params replicated, optimizer
+    states and EMA/SWA averages sharded over the `data` axis (each leaf's
+    first data-divisible axis). Full fine-tune of the 3B model with Adam
+    does not fit one 16 GB v5e (params+grads+states ~16 GB before
+    activations); sharding the states (and averages) over N chips removes
+    (N-1)/N of that term — the JAX form of ZeRO stage 1, with XLA inserting
+    the gather/reduce collectives (SURVEY.md §2.6 "optional optax state
+    sharding")."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = mesh.shape["data"]
+    rep = NamedSharding(mesh, P())
+
+    def shard_spec(leaf):
+        if hasattr(leaf, "ndim"):
+            for ax in range(leaf.ndim):
+                if leaf.shape[ax] >= n and leaf.shape[ax] % n == 0:
+                    return NamedSharding(mesh, P(*([None] * ax + ["data"])))
+        return rep
+
+    return TrainState(
+        params=jax.tree.map(lambda _: rep, state.params),
+        opt_state=jax.tree.map(shard_spec, state.opt_state),
+        step=rep,
+        rng=rep,
+        avg=(jax.tree.map(shard_spec, state.avg) if state.avg is not None else None),
+    )
+
+
+def shard_state_zero1(state: TrainState, mesh) -> TrainState:
+    """Place a TrainState with ZeRO-1 shardings."""
+    shardings = zero1_state_sharding(state, mesh)
+    return jax.tree.map(jax.device_put, state, shardings)
+
+
 def make_jitted_train_step(
     cfg: PiZeroConfig,
     train_cfg: TrainingConfig,
     tx: optax.GradientTransformation,
     mesh=None,
     grad_accum: int = 1,
+    state_sharding: Optional[TrainState] = None,
 ):
     """jit the step; with a mesh, shard the batch over `data` and keep the
-    state replicated — XLA inserts the gradient psum (DP, SURVEY.md §2.6)."""
+    state replicated — XLA inserts the gradient psum (DP, SURVEY.md §2.6).
+    Pass state_sharding=zero1_state_sharding(state, mesh) for ZeRO-1."""
     step = make_train_step(cfg, train_cfg, tx, grad_accum)
     if mesh is None:
         return jax.jit(step, donate_argnums=0)
@@ -134,12 +172,13 @@ def make_jitted_train_step(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     rep = NamedSharding(mesh, P())
+    sspec = state_sharding if state_sharding is not None else rep
     # batch axis over data; with accumulation the accum axis leads, so the
     # sharded batch axis is axis 1
     bspec = NamedSharding(mesh, P(None, "data") if grad_accum > 1 else P("data"))
     return jax.jit(
         step,
-        in_shardings=(rep, bspec),
-        out_shardings=(rep, rep),
+        in_shardings=(sspec, bspec),
+        out_shardings=(sspec, rep),
         donate_argnums=0,
     )

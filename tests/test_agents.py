@@ -419,3 +419,24 @@ def test_train_agent_auto_resume(bridge_dir, tmp_path):
     )
     agent3 = TrainAgent(cfg3)
     assert int(agent3.state.step) == 0
+
+
+@pytest.mark.slow
+def test_train_agent_zero1(bridge_dir, tmp_path):
+    """TrainAgent with zero1=true trains and shards its optimizer states."""
+    from jax.sharding import PartitionSpec as P
+
+    from open_pi_zero_tpu.agents.train import TrainAgent
+
+    cfg = _tiny_train_cfg(
+        bridge_dir, tmp_path, zero1=True, eval_freq=0, save_model_freq=0,
+        use_ema=False, n_updates=1,
+    )
+    agent = TrainAgent(cfg)
+    state = agent.run()
+    assert int(state.step) == 1
+    big = [
+        x for x in jax.tree.leaves(state.opt_state)
+        if hasattr(x, "sharding") and getattr(x, "ndim", 0) >= 2 and x.size > 1000
+    ]
+    assert any(x.sharding.spec != P() for x in big)

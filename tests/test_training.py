@@ -283,3 +283,95 @@ class TestTrainStep:
         state, m2 = step(state, batch)
         assert np.isfinite(float(m2["loss"]))
         assert int(state.step) == 2
+
+
+class TestZero1:
+    def test_zero1_matches_replicated(self):
+        """ZeRO-1 sharded optimizer states produce identical training to the
+        replicated baseline, and the states really are sharded."""
+        import numpy as np
+        from jax.sharding import PartitionSpec as P
+
+        from open_pi_zero_tpu.config import TrainingConfig, tiny_pizero_config
+        from open_pi_zero_tpu.models import pizero
+        from open_pi_zero_tpu.parallel import make_mesh, replicate, shard_batch
+        from open_pi_zero_tpu.training import optimizer as opt_lib
+        from open_pi_zero_tpu.training.train_step import (
+            init_train_state,
+            make_jitted_train_step,
+            shard_state_zero1,
+            zero1_state_sharding,
+        )
+
+        cfg = tiny_pizero_config()
+        tcfg = TrainingConfig(use_ema=True, ema_start=0)
+        mesh = make_mesh(n_data=8)
+        params = pizero.init_params(jax.random.key(0), cfg)
+        tx = opt_lib.build_optimizer(tcfg, params)
+
+        ids = np.zeros((8, cfg.max_image_text_tokens), np.int32)
+        ids[:, : cfg.siglip.num_image_tokens] = cfg.image_token_index
+        batch = {
+            "input_ids": jnp.asarray(ids),
+            "pixel_values": jnp.zeros((8, 28, 28, 3)),
+            "attention_mask": jnp.asarray((ids != 0).astype(np.int32)),
+            "proprios": jnp.zeros((8, 1, cfg.proprio_dim)),
+            "actions": jnp.zeros((8, cfg.horizon_steps, cfg.action_dim)),
+        }
+        batch = shard_batch(mesh, batch)
+
+        # replicated baseline
+        s0 = replicate(mesh, init_train_state(params, tx, jax.random.key(1), tcfg))
+        step_rep = make_jitted_train_step(cfg, tcfg, tx, mesh)
+        s0, m0 = step_rep(s0, batch)
+
+        # zero-1
+        params2 = pizero.init_params(jax.random.key(0), cfg)
+        s1 = init_train_state(params2, tx, jax.random.key(1), tcfg)
+        s1 = shard_state_zero1(s1, mesh)
+        sharding = zero1_state_sharding(s1, mesh)
+        step_z = make_jitted_train_step(cfg, tcfg, tx, mesh, state_sharding=sharding)
+        s1, m1 = step_z(s1, batch)
+
+        np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]), rtol=1e-6)
+        chex = jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)
+        for a, b in zip(*chex):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+        # the big moment buffers actually live sharded
+        big = [
+            x for x in jax.tree.leaves(s1.opt_state)
+            if hasattr(x, "sharding") and x.ndim >= 2 and x.size > 1000
+        ]
+        assert any(x.sharding.spec != P() for x in big), "no opt leaf sharded"
+
+
+def test_remat_preserves_loss_and_grads():
+    """joint remat (jax.checkpoint over trunk layers) must not change the
+    flow loss or its gradients."""
+    import numpy as np
+
+    from open_pi_zero_tpu.config import dataclass_replace, tiny_pizero_config
+    from open_pi_zero_tpu.models import pizero
+
+    cfg = tiny_pizero_config()
+    cfg_r = dataclass_replace(cfg, joint=dataclass_replace(cfg.joint, remat=True))
+    params = pizero.init_params(jax.random.key(0), cfg)
+
+    ids = jnp.zeros((2, cfg.max_image_text_tokens), jnp.int32)
+    ids = ids.at[:, : cfg.siglip.num_image_tokens].set(cfg.image_token_index)
+    am = (ids != 0).astype(jnp.int32)
+    img = jnp.zeros((2, 28, 28, 3))
+    prop = jnp.zeros((2, 1, cfg.proprio_dim))
+    act = jnp.full((2, cfg.horizon_steps, cfg.action_dim), 0.3)
+    t = jnp.asarray([0.2, 0.8])
+
+    def loss(c):
+        return lambda p: pizero.flow_matching_loss(
+            p, c, jax.random.key(1), ids, img, am, prop, act, t
+        )
+
+    l0, g0 = jax.value_and_grad(loss(cfg))(params)
+    l1, g1 = jax.value_and_grad(loss(cfg_r))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
