@@ -24,3 +24,18 @@ def sinusoidal_time_embedding(
     args = tf[:, None] * freqs[None, :]  # [B, half]
     emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
     return emb.astype(out_dtype)
+
+
+def gaussian_fourier_init(
+    key: jax.Array, input_dim: int, embed_dim: int = 256, scale: float = 10.0
+) -> jax.Array:
+    """Random (frozen) projection B ~ N(0, scale^2) for Fourier features
+    (reference GaussianFourierFeatureTransform, vla/modules.py:56-75 — an
+    unused flow-time-embedding experiment kept for capability parity)."""
+    return jax.random.normal(key, (input_dim, embed_dim)) * scale
+
+
+def gaussian_fourier_features(v: jax.Array, b: jax.Array) -> jax.Array:
+    """[..., input_dim] -> [..., 2*embed_dim]: [sin(2πvB), cos(2πvB)]."""
+    proj = 2.0 * jnp.pi * jnp.einsum("...i,ie->...e", v, b.astype(v.dtype))
+    return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)

@@ -260,3 +260,19 @@ def test_adaptive_norms():
     out2 = np.asarray(adaptive_layerscale(jnp.asarray(x), jnp.asarray(cond), jnp.asarray(lk), jnp.asarray(lb)))
     gate = 1 / (1 + np.exp(-(cond @ lk + lb)))
     np.testing.assert_allclose(out2, x * gate[:, None, :], rtol=2e-4, atol=2e-4)
+
+
+def test_gaussian_fourier_features_golden():
+    from open_pi_zero_tpu.ops.embeddings import (
+        gaussian_fourier_features,
+        gaussian_fourier_init,
+    )
+
+    b = gaussian_fourier_init(jax.random.key(0), 3, embed_dim=8, scale=10.0)
+    assert b.shape == (3, 8)
+    v = np.random.default_rng(0).normal(size=(2, 3)).astype(np.float32)
+    out = np.asarray(gaussian_fourier_features(jnp.asarray(v), b))
+    proj = 2 * np.pi * v @ np.asarray(b)
+    np.testing.assert_allclose(
+        out, np.concatenate([np.sin(proj), np.cos(proj)], -1), rtol=2e-5, atol=2e-5
+    )
