@@ -101,13 +101,19 @@ struct Reader {
   std::atomic<int> live_workers{0};
   std::atomic<bool> stop{false};
   std::atomic<long> crc_errors{0};
+  std::atomic<long> open_errors{0};
   std::atomic<size_t> next_path{0};
   bool verify_crc = true;
 
   ~Reader() { shutdown(); }
 
   void shutdown() {
-    stop.store(true);
+    {
+      // hold mu while flipping stop: a waiter that already evaluated its
+      // predicate must not be able to block after the notify fires
+      std::lock_guard<std::mutex> lock(mu);
+      stop.store(true);
+    }
     cv_push.notify_all();
     cv_pop.notify_all();
     for (auto& t : workers)
@@ -125,7 +131,10 @@ struct Reader {
       size_t idx = next_path.fetch_add(1);
       if (idx >= paths.size() || stop.load()) break;
       FILE* f = fopen(paths[idx].c_str(), "rb");
-      if (!f) continue;
+      if (!f) {
+        open_errors.fetch_add(1);  // surfaced via opz_reader_open_errors
+        continue;
+      }
       for (;;) {
         uint8_t header[12];
         if (fread(header, 1, 12, f) != 12) break;  // EOF
@@ -172,7 +181,12 @@ struct Reader {
       }
       if (f) fclose(f);
     }
-    if (live_workers.fetch_sub(1) == 1) cv_pop.notify_all();  // last one out
+    bool last;
+    {
+      std::lock_guard<std::mutex> lock(mu);  // pair with the consumer's wait
+      last = live_workers.fetch_sub(1) == 1;
+    }
+    if (last) cv_pop.notify_all();  // last one out wakes the consumer
   }
 };
 
@@ -219,6 +233,10 @@ long opz_reader_crc_errors(void* handle) {
   return static_cast<Reader*>(handle)->crc_errors.load();
 }
 
+long opz_reader_open_errors(void* handle) {
+  return static_cast<Reader*>(handle)->open_errors.load();
+}
+
 void opz_buf_free(uint8_t* data) { free(data); }
 
 void opz_reader_close(void* handle) { delete static_cast<Reader*>(handle); }
@@ -247,7 +265,9 @@ uint8_t* opz_jpeg_decode(const uint8_t* data, size_t len, int* width,
   OpzJpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
   jerr.mgr.error_exit = opz_jpeg_error_exit;
-  uint8_t* out = nullptr;
+  // volatile: `out` is written between setjmp and a possible longjmp; a
+  // register copy would be indeterminate in the error path (C99 7.13.2.1)
+  uint8_t* volatile out = nullptr;
   if (setjmp(jerr.jb)) {
     jpeg_destroy_decompress(&cinfo);
     free(out);
@@ -261,6 +281,10 @@ uint8_t* opz_jpeg_decode(const uint8_t* data, size_t len, int* width,
   const int w = cinfo.output_width, h = cinfo.output_height;
   const int c = cinfo.output_components;
   out = static_cast<uint8_t*>(malloc(static_cast<size_t>(w) * h * c));
+  if (!out) {  // absurd declared dimensions (corrupt/hostile header)
+    jpeg_destroy_decompress(&cinfo);
+    return nullptr;
+  }
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = out + static_cast<size_t>(cinfo.output_scanline) * w * c;
     jpeg_read_scanlines(&cinfo, &row, 1);

@@ -34,14 +34,24 @@ _lib_lock = threading.Lock()
 
 
 def _build() -> Optional[str]:
-    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
-        return _LIB
-    cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-        "-o", _LIB, _SRC, "-ljpeg", "-lpthread",
-    ]
     try:
+        if os.path.exists(_LIB) and (
+            not os.path.exists(_SRC)
+            or os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)
+        ):
+            return _LIB
+        if not os.path.exists(_SRC):
+            return None
+        # compile to a private temp file and rename atomically: concurrent
+        # builders (multi-process data workers) must never CDLL a
+        # half-written .so
+        tmp = f"{_LIB}.{os.getpid()}.tmp"
+        cmd = [
+            "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+            "-o", tmp, _SRC, "-ljpeg", "-lpthread",
+        ]
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        os.replace(tmp, _LIB)
         return _LIB
     except Exception as e:  # pragma: no cover - toolchain missing
         log.warning("native opz_io build failed (%s); using python fallback", e)
@@ -72,6 +82,8 @@ def load_library():
         ]
         lib.opz_reader_crc_errors.restype = ctypes.c_long
         lib.opz_reader_crc_errors.argtypes = [ctypes.c_void_p]
+        lib.opz_reader_open_errors.restype = ctypes.c_long
+        lib.opz_reader_open_errors.argtypes = [ctypes.c_void_p]
         lib.opz_buf_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
         lib.opz_reader_close.argtypes = [ctypes.c_void_p]
         lib.opz_masked_crc32c.restype = ctypes.c_uint32
@@ -107,23 +119,38 @@ class TFRecordReader:
         self._num_threads = num_threads
         self._capacity = capacity
         self._verify = verify_crc
-        if self._lib is not None:
-            arr = (ctypes.c_char_p * len(self.paths))(
-                *[p.encode() for p in self.paths]
-            )
-            self._handle = self._lib.opz_reader_open(
-                arr, len(self.paths), num_threads, capacity, int(verify_crc)
-            )
+        self._open()
+
+    def _open(self):
+        if self._lib is None:
+            return
+        arr = (ctypes.c_char_p * len(self.paths))(
+            *[p.encode() for p in self.paths]
+        )
+        self._handle = self._lib.opz_reader_open(
+            arr, len(self.paths), self._num_threads, self._capacity,
+            int(self._verify),
+        )
 
     def crc_errors(self) -> int:
         if self._handle is None:
             return self._final_crc_errors
         return int(self._lib.opz_reader_crc_errors(self._handle))
 
-    def __iter__(self) -> Iterator[bytes]:
+    def open_errors(self) -> int:
+        """Shards that could not be opened (missing/permission) — the
+        native reader skips them; check this after iteration."""
         if self._handle is None:
+            return self._final_open_errors
+        return int(self._lib.opz_reader_open_errors(self._handle))
+
+    def __iter__(self) -> Iterator[bytes]:
+        if self._lib is None:
             yield from _py_tfrecord_iter(self.paths, self._verify)
             return
+        if self._handle is None:
+            self._open()  # re-iteration: fresh native reader, never a
+            # silent downgrade to the CRC-less python fallback
         data = ctypes.POINTER(ctypes.c_uint8)()
         length = ctypes.c_size_t()
         try:
@@ -137,11 +164,15 @@ class TFRecordReader:
             self.close()
 
     _final_crc_errors = 0
+    _final_open_errors = 0
 
     def close(self):
         if self._handle is not None:
             self._final_crc_errors = int(
                 self._lib.opz_reader_crc_errors(self._handle)
+            )
+            self._final_open_errors = int(
+                self._lib.opz_reader_open_errors(self._handle)
             )
             self._lib.opz_reader_close(self._handle)
             self._handle = None

@@ -60,18 +60,17 @@ def fuse_mixture_layers(layers: dict) -> dict:
 
 def fuse_siglip_layers(layers: dict) -> dict:
     out = dict(layers)
-    attn = layers["attn"]
+    attn = dict(layers["attn"])
+    _assert_fusable(attn, ("q", "k", "v"))
+    q, k, v = attn.pop("q"), attn.pop("k"), attn.pop("v")
     out["attn"] = {
         "qkv": {
             "kernel": jnp.concatenate(
-                [attn["q"]["kernel"], attn["k"]["kernel"], attn["v"]["kernel"]],
-                axis=-1,
+                [q["kernel"], k["kernel"], v["kernel"]], axis=-1
             ),
-            "bias": jnp.concatenate(
-                [attn["q"]["bias"], attn["k"]["bias"], attn["v"]["bias"]], axis=-1
-            ),
+            "bias": jnp.concatenate([q["bias"], k["bias"], v["bias"]], axis=-1),
         },
-        "o": attn["o"],
+        **attn,  # o (+ any future keys) preserved
     }
     return out
 
@@ -85,10 +84,10 @@ def fuse_for_serving(params: dict) -> dict:
         sig["layers"] = fuse_siglip_layers(sig["layers"])
         out["siglip"] = sig
     if "joint" in out:
-        joint = {"mixtures": {}}
-        for name, m in out["joint"]["mixtures"].items():
-            m = dict(m)
-            m["layers"] = fuse_mixture_layers(m["layers"])
-            joint["mixtures"][name] = m
+        joint = dict(out["joint"])  # preserve any sibling keys
+        joint["mixtures"] = {
+            name: {**m, "layers": fuse_mixture_layers(m["layers"])}
+            for name, m in joint["mixtures"].items()
+        }
         out["joint"] = joint
     return out

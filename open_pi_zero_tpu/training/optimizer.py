@@ -58,6 +58,14 @@ def zero_unused_vlm_last_layer(grads: dict) -> dict:
     return grads
 
 
+def apply_freeze_surgery(grads: dict) -> dict:
+    """Zero the gradients of permanently-frozen leaves (embed_tokens and
+    the unused last-layer VLM weights) — the exact surgery the optimizer
+    applies; exposed so metrics can report the post-surgery norm."""
+    grads = _tree_update(grads, ("embed_tokens",), lambda g: jnp.zeros_like(g))
+    return zero_unused_vlm_last_layer(grads)
+
+
 def freeze_surgery() -> optax.GradientTransformation:
     """Stateless transform: zero embed_tokens grads + unused vlm last-layer
     slices. Must precede clip_by_global_norm."""

@@ -97,12 +97,7 @@ def make_train_step(
 
         # trained-grad norm for logging (post freeze surgery, pre clip —
         # same quantity torch's clip_grad_norm_ returns, train.py:371)
-        surgered = opt_lib.zero_unused_vlm_last_layer(
-            opt_lib._tree_update(
-                grads, ("embed_tokens",), lambda g: jnp.zeros_like(g)
-            )
-        )
-        grad_norm = optax.global_norm(surgered)
+        grad_norm = optax.global_norm(opt_lib.apply_freeze_surgery(grads))
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
