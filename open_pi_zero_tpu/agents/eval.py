@@ -81,11 +81,18 @@ class EvalAgent:
             )
             params = ckpt_lib.restore_params(path, abstract)
         params = convert.to_dtype(params, self.dtype)
+        from open_pi_zero_tpu.ops import lora as lora_lib
+
+        if lora_lib.has_lora(params):
+            # LoRA fine-tuned checkpoint: fold adapters into the base kernels
+            # before any serving transform (fuse_for_serving rejects trees
+            # with adapter leaves; quantizing the un-merged base would
+            # double-count the adapters). Mirrors the reference's eval-time
+            # merge (src/model/lora.py:184-197).
+            params = lora_lib.merge_lora(params, self.model_cfg.lora_scaling)
         if self.cfg.get("quantize"):
             # int8 serving: halves trunk weight streaming (~4 ms of the
             # Euler loop on v5e at bridge scale) at some drift vs bf16
-            from open_pi_zero_tpu.ops import lora as lora_lib
-
             params["joint"] = lora_lib.quantize_base_weights(params["joint"])
         else:
             # fused qkv/gate+up serving layout (~2 ms on v5e; numerically

@@ -349,12 +349,20 @@ class TrainAgent:
             except StopIteration:
                 break
             rng, sub = jax.random.split(rng)
-            gt = batch.pop("actions")
-            pred = self._infer_fn(eval_params, sub, shard_batch(self.mesh, batch))
+            # shard gt through the same global-batch assembly as the inputs:
+            # on multi-host, shard_batch builds a GLOBAL batch of
+            # local_B * n_hosts, so host-local gt would shape-mismatch pred.
+            # Metrics on global arrays reduce to replicated scalars, which
+            # every host can convert.
+            sharded = shard_batch(self.mesh, batch)
+            gt = sharded.pop("actions")
+            pred = self._infer_fn(eval_params, sub, sharded)
             accs.append(
-                np.asarray(get_action_accuracy(jnp.asarray(gt), pred, self.eval_thresholds))
+                np.asarray(
+                    jax.device_get(get_action_accuracy(gt, pred, self.eval_thresholds))
+                )
             )
-            l1s.append(float(l1_loss(jnp.asarray(gt), pred)))
+            l1s.append(float(l1_loss(gt, pred)))
         if not accs:
             return
         acc = np.mean(accs, axis=0)
@@ -373,10 +381,14 @@ class TrainAgent:
     @log_execution_time(log)
     def save(self, update: int):
         # every process participates — orbax save is a collective with
-        # cross-process barriers; rank-0-only would deadlock a pod
+        # cross-process barriers; rank-0-only would deadlock a pod. Pass the
+        # live (possibly ZeRO-1-sharded) state: StandardCheckpointer handles
+        # sharded jax.Arrays natively, whereas a device_get would raise on
+        # non-fully-addressable optimizer shards and needlessly gather the
+        # full 3B state to host on single-host runs.
         path = os.path.join(self.ckpt_dir, f"ckpt_{update}")
         ckpt_lib.save_checkpoint(
-            path, jax.device_get(self.state),
+            path, self.state,
             extra={"cnt_batch": self.cnt_batch, "wandb_id": self._wandb_id},
         )
         log.info("saved checkpoint %s", path)

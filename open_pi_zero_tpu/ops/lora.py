@@ -87,6 +87,13 @@ def _walk(tree, path=()):
         yield path, tree
 
 
+def has_lora(params) -> bool:
+    """True if any `<name>_lora` adapter subtree is present."""
+    if isinstance(params, dict):
+        return any(k.endswith("_lora") or has_lora(v) for k, v in params.items())
+    return False
+
+
 def merge_lora(params, scaling: float = 1.0):
     """Fold every `<name>_lora` adapter into its base kernel and drop the
     adapter (serving-time merge, reference LoRALinear.train(False)).

@@ -5,11 +5,16 @@
 #   bash scripts/eval_simpler.sh configs/eval/bridge.yaml /path/to/ckpt [n_episodes]
 set -euo pipefail
 
-CONFIG=${1:?usage: eval_simpler.sh <config.yaml> <checkpoint> [n_episodes]}
+CONFIG=${1:?usage: eval_simpler.sh <config.yaml> <checkpoint> [n_episodes] [key=value ...]}
 CKPT=${2:?need checkpoint path}
-N=${3:-240}
 shift 2
-[[ $# -gt 0 ]] && shift  # optional n_episodes; the rest are key=value overrides
+N=240
+# only consume $3 as n_episodes when it is numeric; otherwise it is the
+# first key=value override and stays in "$@"
+if [[ $# -gt 0 && $1 =~ ^[0-9]+$ ]]; then
+  N=$1
+  shift
+fi
 
 TASKS=(
   widowx_carrot_on_plate
