@@ -88,8 +88,17 @@ class EvalAgent:
             # before any serving transform (fuse_for_serving rejects trees
             # with adapter leaves; quantizing the un-merged base would
             # double-count the adapters). Mirrors the reference's eval-time
-            # merge (src/model/lora.py:184-197).
-            params = lora_lib.merge_lora(params, self.model_cfg.lora_scaling)
+            # merge (src/model/lora.py:184-197). Scaling is per-mixture
+            # (alpha/r of that expert's LoraConfig).
+            params = dict(params)
+            joint = dict(params["joint"])
+            joint["mixtures"] = {
+                name: lora_lib.merge_lora(
+                    m, self.model_cfg.joint.mixture(name).lora_scaling
+                )
+                for name, m in joint["mixtures"].items()
+            }
+            params["joint"] = joint
         if self.cfg.get("quantize"):
             # int8 serving: halves trunk weight streaming (~4 ms of the
             # Euler loop on v5e at bridge scale) at some drift vs bf16

@@ -392,6 +392,80 @@ def test_eval_agent_loop(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_eval_agent_loads_lora_checkpoint(tmp_path, monkeypatch):
+    """_load_params must merge LoRA adapters before fuse_for_serving /
+    quantize (ADVICE r1: the fusion guard rejected adapter-carrying trees,
+    so LoRA fine-tuned checkpoints could not be served at all)."""
+    from open_pi_zero_tpu.agents.eval import EvalAgent
+    from open_pi_zero_tpu.config import (
+        LoraConfig,
+        dataclass_replace,
+        pizero_config_from_dict,
+        tiny_pizero_config,
+    )
+    from open_pi_zero_tpu.models import pizero
+    from open_pi_zero_tpu.ops import lora as lora_lib
+    from open_pi_zero_tpu.training import checkpoint as ckpt_lib
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    monkeypatch.setattr(ea, "_get_simpler_image", lambda env, obs: img)
+
+    cfg = ConfigDict(
+        {
+            "seed": 0,
+            "log_dir": str(tmp_path / "eval"),
+            "checkpoint_path": str(tmp_path / "ckpt"),
+            "n_eval_episode": 1,
+            "act_steps": 4,
+            "horizon_steps": 4,
+            "num_inference_steps": 2,
+            "max_image_text_tokens": 12,
+            "image_token_index": 500,
+            "vocab_size": 10000,
+            "time_hidden_size": 32,
+            "lora_r": 2,
+            "mixture": {
+                "vlm": {"hidden_size": 64, "intermediate_size": 128, "cache": True,
+                        "rope_theta": 10000.0, "use_lora": True},
+                "proprio": {"hidden_size": 32, "intermediate_size": 64, "cache": True,
+                            "use_final_norm": True, "rope_theta": 100.0},
+                "action": {"hidden_size": 32, "intermediate_size": 64,
+                           "use_final_norm": True, "rope_theta": 100.0},
+            },
+            "vision": {"config": {
+                "hidden_size": 32, "intermediate_size": 64, "num_hidden_layers": 2,
+                "num_attention_heads": 4, "image_size": 28, "patch_size": 14,
+                "num_image_tokens": 4,
+            }},
+            "vision_projector": {"config": {"vision_config": {"projection_dim": 64}}},
+            "joint": {"config": {
+                "num_hidden_layers": 2, "num_attention_heads": 4,
+                "num_key_value_heads": 1, "head_dim": 16,
+            }},
+        }
+    )
+    model_cfg = pizero_config_from_dict(cfg)
+    params = pizero.init_params(jax.random.key(0), model_cfg)
+    assert lora_lib.has_lora(params)
+    # fake "trained" adapters so the merge actually moves weights
+    params = jax.tree.map(lambda x: x + 0.01, params)
+    ckpt_lib.save_params(cfg.checkpoint_path, params)
+
+    agent = EvalAgent(cfg, env=FakeEnv(), adapter=_adapter())
+    assert not lora_lib.has_lora(agent.params)  # merged away
+    assert "qkv" in agent.params["joint"]["mixtures"]["vlm"]["layers"]["attn"]
+    result = agent.run()
+    assert result["n_episodes"] == 1
+
+    # quantized serving path: merge must happen before quantize too
+    cfg_q = ConfigDict({**cfg, "quantize": True, "log_dir": str(tmp_path / "evalq")})
+    agent_q = EvalAgent(cfg_q, env=FakeEnv(), adapter=_adapter())
+    assert not lora_lib.has_lora(agent_q.params)
+    vlm_attn = agent_q.params["joint"]["mixtures"]["vlm"]["layers"]["attn"]
+    assert "q" in vlm_attn and isinstance(vlm_attn["q"], dict) and "scale" in vlm_attn["q"]
+
+
+@pytest.mark.slow
 def test_train_agent_auto_resume(bridge_dir, tmp_path):
     """resume_checkpoint_path='auto' picks the newest COMPLETE checkpoint
     (elastic-restart semantics), round-trips wandb_id, and skips partial

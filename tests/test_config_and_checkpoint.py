@@ -85,6 +85,7 @@ class TestConfigYaml:
 
 
 class TestCheckpoint:
+    @pytest.mark.slow
     def test_trainstate_roundtrip_and_resume_equivalence(self, tmp_path):
         cfg = tiny_pizero_config()
         tcfg = TrainingConfig(use_ema=True, ema_start=0)

@@ -25,6 +25,7 @@ def setup():
     return cfg, params, ids, am, img, prop
 
 
+@pytest.mark.slow
 def test_fused_infer_action_identical(setup):
     cfg, params, ids, am, img, prop = setup
     fused = fuse.fuse_for_serving(params)
@@ -36,6 +37,7 @@ def test_fused_infer_action_identical(setup):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_text_generation_identical(setup):
     cfg, params, ids, am, img, prop = setup
     fused = fuse.fuse_for_serving(params)
@@ -44,6 +46,7 @@ def test_fused_text_generation_identical(setup):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.slow
 def test_fusion_refuses_lora_and_quantized(setup):
     cfg, params, *_ = setup
     lcfg = dataclass_replace(

@@ -125,6 +125,7 @@ def _lora_cfg():
     return dataclass_replace(cfg, joint=dataclass_replace(cfg.joint, mixtures=mixtures))
 
 
+@pytest.mark.slow
 class TestModelWithLora:
     def test_init_preserves_function(self):
         """B=0 at init: LoRA-enabled model == plain model given same base."""

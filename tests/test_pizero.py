@@ -47,6 +47,7 @@ def batch(cfg):
 
 
 class TestInferAction:
+    @pytest.mark.slow
     def test_cached_matches_naive(self, cfg, params, batch):
         ids, img, am, prop = batch
         rng = jax.random.key(42)
@@ -57,6 +58,7 @@ class TestInferAction:
             np.asarray(a_cached), np.asarray(a_naive), rtol=1e-4, atol=1e-5
         )
 
+    @pytest.mark.slow
     def test_jittable_and_deterministic(self, cfg, params, batch):
         ids, img, am, prop = batch
         fn = jax.jit(pizero.infer_action, static_argnums=1)
@@ -82,6 +84,7 @@ class TestInferAction:
         np.testing.assert_allclose(np.asarray(a_ref), np.asarray(a2), atol=1e-6)
 
 
+@pytest.mark.slow
 class TestFlowLoss:
     def test_loss_finite_and_grads_flow(self, cfg, params, batch):
         ids, img, am, prop = batch
@@ -132,6 +135,7 @@ class TestTiedProprio:
         assert "proprio" in p["mixtures"]
 
 
+@pytest.mark.slow
 class TestTextGeneration:
     def test_generate_shapes_and_determinism(self, cfg, params, batch):
         ids, img, _, _ = batch
@@ -150,6 +154,7 @@ class TestTextGeneration:
         np.testing.assert_array_equal(toks[:, 0], expected)
 
 
+@pytest.mark.slow
 class TestAdaptiveMode:
     def test_adaln_zero_runs(self, batch):
         cfg = tiny_pizero_config(action_expert_adaptive_mode="adaLN-Zero")

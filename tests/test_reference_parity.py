@@ -20,9 +20,12 @@ import numpy as np
 import pytest
 
 REF = "/root/reference"
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(REF, "src")), reason="reference not mounted"
-)
+pytestmark = [
+    pytest.mark.slow,  # torch-parity tier: run with `pytest -m slow` / full suite
+    pytest.mark.skipif(
+        not os.path.isdir(os.path.join(REF, "src")), reason="reference not mounted"
+    ),
+]
 
 
 def _install_stubs():

@@ -14,6 +14,8 @@ from open_pi_zero_tpu.models import pizero
 from open_pi_zero_tpu.parallel import make_mesh
 from open_pi_zero_tpu.parallel.sharding import shard_params_tp, tp_param_specs
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def setup():

@@ -95,6 +95,7 @@ def _tiny_batch(cfg, b=2, accum=None):
 
 
 class TestFreezeSurgery:
+    @pytest.mark.slow
     def test_frozen_leaves_do_not_move(self):
         cfg, params, tcfg = _tiny_setup()
         tx = opt_lib.build_optimizer(tcfg, params)
@@ -176,6 +177,7 @@ class TestQuantizedAdam:
         p32 = run(optax.adamw(1e-1))
         np.testing.assert_allclose(np.asarray(p8), np.asarray(p32), atol=0.05)
 
+    @pytest.mark.slow
     def test_full_optimizer_with_quantized_states(self):
         cfg, params, tcfg = _tiny_setup(quantize=True)
         tx = opt_lib.build_optimizer(tcfg, params)
@@ -235,6 +237,7 @@ class TestFlowTimeSampling:
         assert 0.35 < t.mean() < 0.45
 
 
+@pytest.mark.slow
 class TestTrainStep:
     def test_single_device_step_decreases_loss(self):
         cfg, params, tcfg = _tiny_setup()
@@ -285,6 +288,7 @@ class TestTrainStep:
         assert int(state.step) == 2
 
 
+@pytest.mark.slow
 class TestZero1:
     def test_zero1_matches_replicated(self):
         """ZeRO-1 sharded optimizer states produce identical training to the
@@ -345,6 +349,7 @@ class TestZero1:
         assert any(x.sharding.spec != P() for x in big), "no opt leaf sharded"
 
 
+@pytest.mark.slow
 def test_remat_preserves_loss_and_grads():
     """joint remat (jax.checkpoint over trunk layers) must not change the
     flow loss or its gradients."""
