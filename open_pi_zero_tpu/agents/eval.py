@@ -99,16 +99,18 @@ class EvalAgent:
                 for name, m in joint["mixtures"].items()
             }
             params["joint"] = joint
-        if self.cfg.get("quantize"):
-            # int8 serving: halves trunk weight streaming (~4 ms of the
-            # Euler loop on v5e at bridge scale) at some drift vs bf16
-            params["joint"] = lora_lib.quantize_base_weights(params["joint"])
-        else:
-            # fused qkv/gate+up serving layout (~2 ms on v5e; numerically
-            # identical up to bf16 reassociation)
-            from open_pi_zero_tpu.models import fuse
+        from open_pi_zero_tpu.models import fuse
 
-            params = fuse.fuse_for_serving(params)
+        # serving layout: fused qkv/gate+up everywhere; int8 action expert
+        # by default (the Euler loop streams the expert weights 10x —
+        # ~15.5 ms vs ~19.8 ms bf16 at bridge scale on v5e, chunk drift
+        # ~1.1e-3 mean L1, inside the reference's documented cache-drift
+        # band). quantize=false serves pure bf16.
+        if bool(self.cfg.get("quantize", True)):
+            mixes = tuple(self.cfg.get("quantize_mixtures", ("action",)))
+            params = fuse.prepare_for_serving(params, quantize_mixtures=mixes)
+        else:
+            params = fuse.prepare_for_serving(params)
         return params
 
     # ------------------------------------------------------------------ #

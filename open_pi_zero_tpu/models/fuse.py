@@ -75,6 +75,35 @@ def fuse_siglip_layers(layers: dict) -> dict:
     return out
 
 
+def prepare_for_serving(params: dict, quantize_mixtures=()) -> dict:
+    """Full serving-layout pipeline: fuse qkv/gate+up, then (optionally)
+    int8-quantize the kernels of the named trunk mixtures.
+
+    Measured on v5e at bridge scale (B=1, 10 Euler steps):
+    bf16 fused ~19.8 ms; int8 on the action expert ~15.5 ms (the Euler loop
+    streams the expert weights 10x, so halving their bytes dominates), with
+    chunk drift ~1.1e-3 mean L1 — inside the reference's own documented
+    bf16 KV-cache drift band of 5e-4–2.5e-3 (reference README.md:116).
+    Quantizing the VLM too saves only ~0.3 ms more (prefill runs once) for
+    ~1.7x the drift, so the default serving config is expert-only.
+
+    LoRA adapters must be merged first (ops.lora.merge_lora); fusion
+    refuses adapter-carrying trees.
+    """
+    from open_pi_zero_tpu.ops import lora as lora_lib
+
+    params = fuse_for_serving(params)
+    if quantize_mixtures:
+        joint = dict(params["joint"])
+        mixtures = dict(joint["mixtures"])
+        for m in quantize_mixtures:
+            if m in mixtures:  # "proprio" is absent when tied to "action"
+                mixtures[m] = lora_lib.quantize_base_weights(mixtures[m])
+        joint["mixtures"] = mixtures
+        params = {**params, "joint": joint}
+    return params
+
+
 def fuse_for_serving(params: dict) -> dict:
     """Full PiZero param tree -> fused-serving layout (new tree; the input
     is not mutated)."""

@@ -125,7 +125,10 @@ def merge_lora(params, scaling: float = 1.0):
     return merge_dict(params)
 
 
-QUANTIZE_KEYS = ("q", "k", "v", "o", "gate", "up", "down")
+# includes the fused serving keys (models/fuse.py) so quantization can be
+# applied AFTER fusion: per-output-channel scales on a concatenated kernel
+# are identical to per-channel scales on the separate kernels
+QUANTIZE_KEYS = ("q", "k", "v", "o", "gate", "up", "down", "qkv", "gateup")
 
 
 def quantize_base_weights(tree, keys=QUANTIZE_KEYS):

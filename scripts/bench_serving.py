@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Serving-variant benchmark: bf16 fused vs int8 expert / int8 joint.
+
+Measures full `infer_action` (prefill + 10 Euler steps) per variant with
+bench.py's data-dependency-chain timing, and the action-chunk drift
+(mean L1 vs the bf16 fused baseline, fixed rng + injected noise). The
+reference documents its own bf16 KV-cache drift as 5e-4–2.5e-3 mean L1
+(reference README.md:116) — the int8-expert drift must stay inside that
+band for Simpler success rates to transfer.
+
+Run on the real chip:
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_serving.py
+
+Prints one JSON line per variant.
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CHAIN = 20
+WARMUP = 5  # first executions in a fresh process run 2-3x slower
+
+
+def main():
+    from open_pi_zero_tpu.config import PiZeroConfig
+    from open_pi_zero_tpu.models import fuse, pizero
+
+    import __graft_entry__ as graft
+
+    cfg = PiZeroConfig()
+    ids, img, am, prop = graft._example_batch(cfg)
+    ids, am = jnp.asarray(ids), jnp.asarray(am)
+    img, prop = jnp.asarray(img, jnp.bfloat16), jnp.asarray(prop, jnp.bfloat16)
+    rng = jax.random.key(1)
+    noise = jax.random.normal(
+        jax.random.key(7), (1, cfg.horizon_steps, cfg.action_dim), jnp.bfloat16
+    )
+
+    variants = {
+        "bf16_fused": (),
+        "int8_expert": ("action",),
+        "int8_joint": ("vlm", "action"),
+    }
+
+    def run(quantize_mixtures):
+        params = fuse.prepare_for_serving(
+            pizero.init_params(jax.random.key(0), cfg, dtype=jnp.bfloat16),
+            quantize_mixtures=quantize_mixtures,
+        )
+
+        def chained(params, rng, ids, img, am, prop, noise):
+            out = pizero.infer_action(
+                params, cfg, rng, ids, img, am, prop, action0=noise
+            )
+            return prop + (0.0 * out.mean()).astype(prop.dtype), out
+
+        jfn = jax.jit(chained)
+        x, out = jfn(params, rng, ids, img, am, prop, noise)
+        chunk = np.asarray(out, np.float32)
+        for _ in range(WARMUP):
+            x, out = jfn(params, rng, ids, img, am, x, noise)
+        _ = np.asarray(out[0, 0, 0])
+        t0 = time.perf_counter()
+        for _ in range(CHAIN):
+            x, out = jfn(params, rng, ids, img, am, x, noise)
+        _ = np.asarray(out[0, 0, 0])
+        ms = (time.perf_counter() - t0) * 1e3 / CHAIN
+        del params, jfn
+        gc.collect()
+        return ms, chunk
+
+    base_chunk = None
+    for name, mixes in variants.items():
+        ms, chunk = run(mixes)
+        drift = (
+            None
+            if base_chunk is None
+            else float(np.mean(np.abs(chunk - base_chunk)))
+        )
+        if base_chunk is None:
+            base_chunk = chunk
+        print(
+            json.dumps(
+                {"variant": name, "ms": round(ms, 3), "drift_L1_vs_bf16": drift}
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -454,15 +454,20 @@ def test_eval_agent_loads_lora_checkpoint(tmp_path, monkeypatch):
     agent = EvalAgent(cfg, env=FakeEnv(), adapter=_adapter())
     assert not lora_lib.has_lora(agent.params)  # merged away
     assert "qkv" in agent.params["joint"]["mixtures"]["vlm"]["layers"]["attn"]
+    # default serving config: int8 action expert, bf16 vlm
+    act_attn = agent.params["joint"]["mixtures"]["action"]["layers"]["attn"]
+    assert isinstance(act_attn["qkv"], dict) and "scale" in act_attn["qkv"]
+    vlm_attn = agent.params["joint"]["mixtures"]["vlm"]["layers"]["attn"]
+    assert not isinstance(vlm_attn["qkv"], dict) or "scale" not in vlm_attn["qkv"]
     result = agent.run()
     assert result["n_episodes"] == 1
 
-    # quantized serving path: merge must happen before quantize too
-    cfg_q = ConfigDict({**cfg, "quantize": True, "log_dir": str(tmp_path / "evalq")})
-    agent_q = EvalAgent(cfg_q, env=FakeEnv(), adapter=_adapter())
-    assert not lora_lib.has_lora(agent_q.params)
-    vlm_attn = agent_q.params["joint"]["mixtures"]["vlm"]["layers"]["attn"]
-    assert "q" in vlm_attn and isinstance(vlm_attn["q"], dict) and "scale" in vlm_attn["q"]
+    # pure-bf16 serving: merge still happens before fusion
+    cfg_b = ConfigDict({**cfg, "quantize": False, "log_dir": str(tmp_path / "evalb")})
+    agent_b = EvalAgent(cfg_b, env=FakeEnv(), adapter=_adapter())
+    assert not lora_lib.has_lora(agent_b.params)
+    act_attn_b = agent_b.params["joint"]["mixtures"]["action"]["layers"]["attn"]
+    assert not (isinstance(act_attn_b["qkv"], dict) and "scale" in act_attn_b["qkv"])
 
 
 @pytest.mark.slow

@@ -47,6 +47,24 @@ def test_fused_text_generation_identical(setup):
 
 
 @pytest.mark.slow
+def test_prepare_for_serving_int8_expert_close_to_float(setup):
+    """Production serving layout (fused + int8 action expert): quantized
+    fused kernels must stay close to the float forward, and only the
+    requested mixtures are quantized."""
+    cfg, params, ids, am, img, prop = setup
+    served = fuse.prepare_for_serving(params, quantize_mixtures=("action",))
+    attn = served["joint"]["mixtures"]["action"]["layers"]["attn"]
+    assert isinstance(attn["qkv"], dict) and "scale" in attn["qkv"]
+    vlm_attn = served["joint"]["mixtures"]["vlm"]["layers"]["attn"]
+    assert not isinstance(vlm_attn["qkv"], dict)
+    rng = jax.random.key(2)
+    want = pizero.infer_action(params, cfg, rng, ids, img, am, prop)
+    got = pizero.infer_action(served, cfg, rng, ids, img, am, prop)
+    drift = float(np.mean(np.abs(np.asarray(got) - np.asarray(want))))
+    assert drift < 2.5e-3, f"int8-expert drift {drift} above the reference band"
+
+
+@pytest.mark.slow
 def test_fusion_refuses_lora_and_quantized(setup):
     cfg, params, *_ = setup
     lcfg = dataclass_replace(
