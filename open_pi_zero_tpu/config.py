@@ -152,10 +152,39 @@ def parse_override_value(s: str) -> Any:
         return s
 
 
-def load_config(path: str, overrides: Optional[list[str]] = None) -> ConfigDict:
-    """Load a YAML config, apply key=value overrides, resolve interpolations."""
+def _deep_merge(base: dict, over: dict) -> dict:
+    out = dict(base)
+    for k, v in over.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def _load_raw(path: str, _seen: Optional[frozenset] = None) -> dict:
+    """YAML file -> dict, honoring an optional `_base_: <relative path>` key
+    (the base is loaded first, recursively, and the file deep-merged over
+    it — the role hydra `defaults:` plays in the reference configs)."""
+    path = os.path.abspath(path)
+    seen = _seen or frozenset()
+    if path in seen:
+        raise ValueError(f"config _base_ cycle at {path}")
     with open(path) as f:
         raw = yaml.safe_load(f) or {}
+    base_rel = raw.pop("_base_", None)
+    if base_rel:
+        base = _load_raw(
+            os.path.join(os.path.dirname(path), str(base_rel)), seen | {path}
+        )
+        raw = _deep_merge(base, raw)
+    return raw
+
+
+def load_config(path: str, overrides: Optional[list[str]] = None) -> ConfigDict:
+    """Load a YAML config (with `_base_` inheritance), apply key=value
+    overrides, resolve interpolations."""
+    raw = _load_raw(path)
     for ov in overrides or []:
         if "=" not in ov:
             raise ValueError(f"override must be key=value, got {ov!r}")

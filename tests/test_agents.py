@@ -391,6 +391,73 @@ def test_eval_agent_loop(tmp_path, monkeypatch):
     assert result["mean_inference_time_s"] is not None
 
 
+_TINY_GEOMETRY_OVERRIDES = [
+    "num_inference_steps=2",
+    "vocab_size=10000",
+    "image_token_index=500",
+    "max_image_text_tokens=12",
+    "env.adapter.max_seq_len=12",
+    "env.adapter.num_image_tokens=4",
+    "time_hidden_size=32",
+    "mixture.vlm.hidden_size=64",
+    "mixture.vlm.intermediate_size=128",
+    "mixture.proprio.hidden_size=32",
+    "mixture.proprio.intermediate_size=64",
+    "mixture.action.hidden_size=32",
+    "mixture.action.intermediate_size=64",
+    "vision.config.hidden_size=32",
+    "vision.config.intermediate_size=64",
+    "vision.config.num_hidden_layers=2",
+    "vision.config.num_attention_heads=4",
+    "vision.config.image_size=28",
+    "vision.config.num_image_tokens=4",
+    "vision_projector.config.vision_config.projection_dim=64",
+    "joint.config.num_hidden_layers=2",
+    "joint.config.num_attention_heads=4",
+    "joint.config.head_dim=16",
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "name",
+    ["fractal_coke", "fractal_move", "fractal_drawer", "fractal_apple"],
+)
+def test_eval_agent_per_task_fractal_smoke(name, tmp_path, monkeypatch):
+    """Each per-task fractal config (reference config/eval/fractal_*.yaml)
+    drives a full EvalAgent episode at tiny geometry: config -> typed model
+    config -> EDR sticky-gripper adapter -> episode loop."""
+    from open_pi_zero_tpu.agents.eval import EvalAgent
+    from open_pi_zero_tpu.config import load_config, pizero_config_from_dict
+    from open_pi_zero_tpu.models import pizero
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(
+        os.path.join(repo, f"configs/eval/{name}.yaml"),
+        overrides=[
+            "n_eval_episode=1",
+            "record_video=false",
+            f"log_dir={tmp_path}",
+            *_TINY_GEOMETRY_OVERRIDES,
+        ],
+    )
+    assert cfg.act_steps == 2  # fractal protocol: run 2 of 4 chunk steps
+    model_cfg = pizero_config_from_dict(cfg)
+    params = pizero.init_params(jax.random.key(0), model_cfg)
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    monkeypatch.setattr(ea, "_get_simpler_image", lambda env, obs: img)
+    adapter = _adapter(
+        ea.EDRSimplerAdapter,
+        dataset_statistics_path=os.path.join(
+            repo, "configs/statistics/fractal_statistics.json"
+        ),
+    )
+    agent = EvalAgent(cfg, env=FakeEnv(), adapter=adapter, params=params)
+    result = agent.run()
+    assert result["n_episodes"] == 1
+
+
 @pytest.mark.slow
 def test_eval_agent_loads_lora_checkpoint(tmp_path, monkeypatch):
     """_load_params must merge LoRA adapters before fuse_for_serving /

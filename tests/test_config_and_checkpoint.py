@@ -61,6 +61,47 @@ class TestConfigYaml:
             assert model_cfg.mixture("action").rope_theta == theta
             assert model_cfg.time_max_period == 10000.0
 
+    def test_per_task_fractal_configs(self):
+        """The 4 per-task fractal eval configs (reference
+        config/eval/fractal_{coke,move,drawer,apple}.yaml) inherit the
+        shared fractal base via `_base_` and set task + episode count."""
+        expect = {
+            "fractal_coke": ("google_robot_pick_horizontal_coke_can", 25 * 4 * 10),
+            "fractal_move": ("google_robot_move_near_v0", 60 * 4 * 10),
+            "fractal_drawer": ("google_robot_open_drawer", 3 * 4 * 9 * 10),
+            "fractal_apple": (
+                "google_robot_place_apple_in_closed_top_drawer",
+                9 * 4 * 3 * 10,
+            ),
+        }
+        for name, (task, n) in expect.items():
+            cfg = load_config(os.path.join(REPO, f"configs/eval/{name}.yaml"))
+            assert cfg.env.task == task
+            assert cfg.n_eval_episode == n
+            assert cfg.act_steps == 2  # fractal runs 2 of 4 chunk steps
+            assert cfg.env.adapter.name == "fractal"
+            model_cfg = pizero_config_from_dict(cfg)
+            assert model_cfg.proprio_dim == 8
+            assert model_cfg.joint.num_hidden_layers == 18
+
+    def test_base_include_cycle_raises(self, tmp_path):
+        a = tmp_path / "a.yaml"
+        b = tmp_path / "b.yaml"
+        a.write_text("_base_: b.yaml\nx: 1\n")
+        b.write_text("_base_: a.yaml\ny: 2\n")
+        with pytest.raises(ValueError, match="cycle"):
+            load_config(str(a))
+
+    def test_base_include_deep_merge(self, tmp_path):
+        base = tmp_path / "base.yaml"
+        leaf = tmp_path / "leaf.yaml"
+        base.write_text("env:\n  task: t0\n  adapter: {name: bridge}\nn: 1\n")
+        leaf.write_text("_base_: base.yaml\nenv:\n  task: t1\n")
+        cfg = load_config(str(leaf), overrides=["n=5"])
+        assert cfg.env.task == "t1"
+        assert cfg.env.adapter.name == "bridge"  # sibling keys survive
+        assert cfg.n == 5  # overrides apply after inheritance
+
     def test_overrides(self):
         cfg = load_config(
             os.path.join(REPO, "configs/train/bridge.yaml"),
