@@ -108,7 +108,10 @@ class EvalAgent:
         # band). quantize=false serves pure bf16.
         if bool(self.cfg.get("quantize", True)):
             mixes = tuple(self.cfg.get("quantize_mixtures", ("action",)))
-            params = fuse.prepare_for_serving(params, quantize_mixtures=mixes)
+            bits = int(self.cfg.get("quantize_bits", 8))  # 8=int8, 4=NF4
+            params = fuse.prepare_for_serving(
+                params, quantize_mixtures=mixes, bits=bits
+            )
         else:
             params = fuse.prepare_for_serving(params)
         return params

@@ -34,10 +34,10 @@ def _assert_fusable(d: dict, names):
                 "cannot fuse projections with live LoRA adapters — apply "
                 "ops.lora.merge_lora first"
             )
-        if isinstance(d.get(n), dict) and "q" in d.get(n, {}):
+        if isinstance(d.get(n), dict) and ({"q", "q4"} & set(d.get(n, {}))):
             raise ValueError(
-                "cannot fuse int8-quantized bases — fusion is for the "
-                "float serving path"
+                "cannot fuse quantized bases — fusion is for the "
+                "float serving path (fuse first, then quantize)"
             )
 
 
@@ -75,9 +75,11 @@ def fuse_siglip_layers(layers: dict) -> dict:
     return out
 
 
-def prepare_for_serving(params: dict, quantize_mixtures=()) -> dict:
+def prepare_for_serving(params: dict, quantize_mixtures=(), bits: int = 8) -> dict:
     """Full serving-layout pipeline: fuse qkv/gate+up, then (optionally)
-    int8-quantize the kernels of the named trunk mixtures.
+    quantize the kernels of the named trunk mixtures (bits=8 per-channel
+    int8, bits=4 blockwise NF4 — the bnb Linear4bit tier,
+    reference lora.py:83-100).
 
     Measured on v5e at bridge scale (B=1, 10 Euler steps):
     bf16 fused ~19.8 ms; int8 on the action expert ~15.5 ms (the Euler loop
@@ -98,7 +100,7 @@ def prepare_for_serving(params: dict, quantize_mixtures=()) -> dict:
         mixtures = dict(joint["mixtures"])
         for m in quantize_mixtures:
             if m in mixtures:  # "proprio" is absent when tied to "action"
-                mixtures[m] = lora_lib.quantize_base_weights(mixtures[m])
+                mixtures[m] = lora_lib.quantize_base_weights(mixtures[m], bits=bits)
         joint["mixtures"] = mixtures
         params = {**params, "joint": joint}
     return params

@@ -25,7 +25,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from open_pi_zero_tpu.ops.quantization import quantize_int8_rowwise
+from open_pi_zero_tpu.ops.quantization import (
+    dequantize_kernel_nf4,
+    quantize_int8_rowwise,
+    quantize_kernel_nf4,
+)
 
 
 def lora_init(
@@ -53,8 +57,16 @@ def lora_delta(x: jax.Array, lora: dict, scaling: float) -> jax.Array:
 
 
 def base_matmul(x: jax.Array, w, spec: str = "...i,io->...o") -> jax.Array:
-    """Matmul against a plain kernel or an int8-quantized {q, scale} dict,
-    fp32 accumulation (dequant scale applied per output channel)."""
+    """Matmul against a plain kernel, an int8-quantized {q, scale} dict, or
+    an NF4 {q4, absmax} dict, fp32 accumulation. int8 applies the dequant
+    scale in the matmul epilogue; NF4 dequantizes the kernel first (the bnb
+    Linear4bit semantics, reference lora.py:214-243 — serving uses the
+    Pallas fused dequant-matmul instead)."""
+    if isinstance(w, dict) and "q4" in w:
+        return jnp.einsum(
+            spec, x, dequantize_kernel_nf4(w, x.dtype),
+            preferred_element_type=jnp.float32,
+        )
     if isinstance(w, dict) and "q" in w:
         out = jnp.einsum(
             spec, x, w["q"].astype(x.dtype), preferred_element_type=jnp.float32
@@ -109,7 +121,9 @@ def merge_lora(params, scaling: float = 1.0):
             lora = d.get(f"{k}_lora")
             if lora is not None:
                 base = v
-                if isinstance(base, dict) and "q" in base:
+                if isinstance(base, dict) and "q4" in base:
+                    base = dequantize_kernel_nf4(base)
+                elif isinstance(base, dict) and "q" in base:
                     scale = base["scale"]
                     if base["q"].ndim == 3:  # stacked [L, in, out], scale [L, out]
                         scale = scale[:, None, :]
@@ -131,12 +145,16 @@ def merge_lora(params, scaling: float = 1.0):
 QUANTIZE_KEYS = ("q", "k", "v", "o", "gate", "up", "down", "qkv", "gateup")
 
 
-def quantize_base_weights(tree, keys=QUANTIZE_KEYS):
-    """Replace matching 2-D/3-D float kernels with {q: int8, scale} dicts
-    (per output channel; stacked [L, in, out] kernels are quantized
-    per-(layer, channel)). Apply AFTER loading pretrained weights."""
+def quantize_base_weights(tree, keys=QUANTIZE_KEYS, bits: int = 8):
+    """Replace matching 2-D/3-D float kernels with quantized dicts: int8 ->
+    {q, scale} per output channel; 4 -> NF4 {q4, absmax} blockwise (the bnb
+    Linear4bit tier, reference lora.py:83-100). Stacked [L, in, out] kernels
+    quantize per-layer. Apply AFTER loading pretrained weights."""
+    assert bits in (8, 4), f"bits must be 8 or 4, got {bits}"
 
     def q(w):
+        if bits == 4:
+            return quantize_kernel_nf4(w)
         if w.ndim == 2:
             qv, s = quantize_int8_rowwise(w)
             return {"q": qv, "scale": s}
@@ -149,6 +167,8 @@ def quantize_base_weights(tree, keys=QUANTIZE_KEYS):
     def walk(d):
         if not isinstance(d, dict):
             return d
+        if "q4" in d and "absmax" in d:
+            return d  # already quantized — idempotent
         if "q" in d and "scale" in d and not isinstance(d["q"], dict):
             return d  # already quantized — idempotent
         out = {}

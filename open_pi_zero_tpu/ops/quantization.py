@@ -80,6 +80,148 @@ def dequantize_blockwise(qt: QTensor) -> jax.Array:
     return flat[:n].reshape(qt.shape)
 
 
+# --------------------------------------------------------------------------- #
+# 4-bit blockwise (bnb Linear4bit parity: reference src/model/lora.py:214-360)
+# --------------------------------------------------------------------------- #
+
+# QLoRA NF4 code (information-theoretically optimal for N(0,1) weights) and
+# bnb FP4 (e2m1) code — both public 16-entry tables from bitsandbytes
+# functional.quantize_4bit. Index = the stored nibble.
+NF4_CODE = (
+    -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+    -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+    0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+    0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+    0.7229568362236023, 1.0,
+)
+_FP4_MAG = (0.0, 0.0052083334885537624, 0.6666666865348816, 1.0,
+            0.3333333432674408, 0.5, 0.16666667163372, 0.25)
+FP4_CODE = _FP4_MAG + tuple(-m for m in _FP4_MAG)  # high bit = sign
+
+DEFAULT_BLOCK_4BIT = 64  # bnb Linear4bit default blocksize
+
+
+def _code_table(quant_type: str) -> jnp.ndarray:
+    if quant_type == "nf4":
+        return jnp.asarray(NF4_CODE, jnp.float32)
+    if quant_type == "fp4":
+        return jnp.asarray(FP4_CODE, jnp.float32)
+    raise ValueError(f"unknown 4-bit quant_type {quant_type!r}")
+
+
+@jax.tree_util.register_pytree_node_class
+class Q4Tensor:
+    """4-bit blockwise tensor: two nibbles packed per uint8 byte
+    ([n_blocks, block//2]) + per-block fp32 absmax scales. `quant_type`
+    selects the nf4/fp4 codebook; `shape` restores the original layout.
+    With `scale_q` set (bnb compress_statistics / "double quantization"),
+    the absmax vector is itself stored int8-blockwise."""
+
+    def __init__(self, packed, scale, shape, quant_type="nf4", scale_q=None):
+        self.packed = packed
+        self.scale = scale  # fp32 [n_blocks, 1], or None when scale_q is set
+        self.scale_q = scale_q  # QTensor of the absmax vector, or None
+        self.shape = tuple(shape)
+        self.quant_type = quant_type
+
+    def tree_flatten(self):
+        return (self.packed, self.scale, self.scale_q), (self.shape, self.quant_type)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        shape, quant_type = aux
+        return cls(children[0], children[1], shape, quant_type, children[2])
+
+    def __repr__(self):
+        return (
+            f"Q4Tensor(shape={self.shape}, blocks={self.packed.shape}, "
+            f"type={self.quant_type}, double_quant={self.scale_q is not None})"
+        )
+
+
+def quantize_4bit(
+    x: jax.Array,
+    block: int = DEFAULT_BLOCK_4BIT,
+    quant_type: str = "nf4",
+    compress_statistics: bool = False,
+) -> Q4Tensor:
+    """Nearest-codebook-entry 4-bit quantization with per-block absmax
+    scaling (bnb quantize_4bit semantics)."""
+    code = _code_table(quant_type)
+    shape = x.shape
+    flat = x.astype(jnp.float32).reshape(-1)
+    pad = (-flat.shape[0]) % block
+    blocks = jnp.pad(flat, (0, pad)).reshape(-1, block)
+    absmax = jnp.max(jnp.abs(blocks), axis=1, keepdims=True)
+    scale = jnp.where(absmax == 0, 1.0, absmax)
+    normed = blocks / scale  # [-1, 1]
+    # nearest of 16 code values (vectorized argmin; 16x the elements but
+    # one-shot at conversion time)
+    idx = jnp.argmin(
+        jnp.abs(normed[..., None] - code[None, None, :]), axis=-1
+    ).astype(jnp.uint8)
+    lo, hi = idx[:, 0::2], idx[:, 1::2]
+    packed = (hi << 4) | lo
+    scale_q = None
+    if compress_statistics:
+        scale_q = quantize_blockwise(scale.reshape(-1), block=256)
+        scale = None
+    return Q4Tensor(packed, scale, shape, quant_type, scale_q)
+
+
+def dequantize_4bit(qt: Q4Tensor) -> jax.Array:
+    code = _code_table(qt.quant_type)
+    lo = (qt.packed & 0x0F).astype(jnp.int32)
+    hi = (qt.packed >> 4).astype(jnp.int32)
+    idx = jnp.stack([lo, hi], axis=-1).reshape(qt.packed.shape[0], -1)
+    scale = (
+        dequantize_blockwise(qt.scale_q).reshape(-1, 1)
+        if qt.scale_q is not None
+        else qt.scale
+    )
+    blocks = code[idx] * scale
+    n = 1
+    for d in qt.shape:
+        n *= d
+    return blocks.reshape(-1)[:n].reshape(qt.shape)
+
+
+def quantize_kernel_nf4(w: jax.Array, block: int = DEFAULT_BLOCK_4BIT) -> dict:
+    """NF4 layout for model kernels: blocks run along the LAST dim so a
+    stacked [L, in, out] kernel quantizes to plain-dict leaves with the same
+    leading dims ({q4: uint8 [..., in, out//2], absmax: f32 [..., in,
+    out//block]}) — lax.scan slices layers and GSPMD shards them like any
+    other leaf (unlike a packed-flat Q4Tensor). Equivalent to bnb's
+    flattened blocking modulo block ordering. Blocks shrink to the last dim
+    for tiny / fused (non-multiple-of-64) kernels."""
+    import math
+
+    block = math.gcd(block, w.shape[-1])
+    if w.shape[-1] % 2:
+        raise ValueError(f"last dim {w.shape[-1]} must be even to pack nibbles")
+    code = _code_table("nf4")
+    lead = w.shape[:-1]
+    blocks = w.astype(jnp.float32).reshape(*lead, -1, block)
+    absmax = jnp.max(jnp.abs(blocks), axis=-1, keepdims=True)
+    scale = jnp.where(absmax == 0, 1.0, absmax)
+    idx = jnp.argmin(
+        jnp.abs((blocks / scale)[..., None] - code), axis=-1
+    ).astype(jnp.uint8)
+    idx = idx.reshape(*lead, -1)  # nibbles in original column order
+    packed = (idx[..., 1::2] << 4) | idx[..., 0::2]
+    return {"q4": packed, "absmax": scale[..., 0]}
+
+
+def dequantize_kernel_nf4(d: dict, dtype=jnp.float32) -> jax.Array:
+    code = _code_table("nf4")
+    lo = (d["q4"] & 0x0F).astype(jnp.int32)
+    hi = (d["q4"] >> 4).astype(jnp.int32)
+    idx = jnp.stack([lo, hi], axis=-1).reshape(*d["q4"].shape[:-1], -1)
+    g = d["absmax"].shape[-1]
+    vals = code[idx].reshape(*idx.shape[:-1], g, -1) * d["absmax"][..., None]
+    return vals.reshape(idx.shape).astype(dtype)
+
+
 def quantize_int8_rowwise(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Per-output-channel symmetric int8 for weight matrices [in, out]:
     returns (int8 [in, out], scale [out])."""

@@ -26,7 +26,10 @@ def process_images(images: np.ndarray) -> np.ndarray:
     reference processing.py:25-60)."""
     if images.dtype != np.uint8:
         raise ValueError(f"expected uint8 images, got {images.dtype}")
-    x = images.astype(np.float32) / 255.0
+    # multiply by the reciprocal (not /255) — byte-identical to the
+    # reference's float32 rescale (processing.py:25-30), so pixel values fed
+    # at eval match the training distribution bit-for-bit
+    x = images.astype(np.float32) * np.float32(1.0 / 255.0)
     return (x - IMAGENET_STANDARD_MEAN) / IMAGENET_STANDARD_STD
 
 

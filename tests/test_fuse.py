@@ -85,5 +85,26 @@ def test_fusion_refuses_lora_and_quantized(setup):
 
     qparams = dict(params)
     qparams["joint"] = lora_lib.quantize_base_weights(params["joint"])
-    with pytest.raises(ValueError, match="int8"):
+    with pytest.raises(ValueError, match="quantized"):
         fuse.fuse_for_serving(qparams)
+    q4params = dict(params)
+    q4params["joint"] = lora_lib.quantize_base_weights(params["joint"], bits=4)
+    with pytest.raises(ValueError, match="quantized"):
+        fuse.fuse_for_serving(q4params)
+
+
+@pytest.mark.slow
+def test_prepare_for_serving_nf4_expert_close_to_float(setup):
+    """4-bit serving tier (fused + NF4 action expert, the bnb Linear4bit
+    analog): bounded drift, only requested mixtures quantized."""
+    cfg, params, ids, am, img, prop = setup
+    served = fuse.prepare_for_serving(params, quantize_mixtures=("action",), bits=4)
+    attn = served["joint"]["mixtures"]["action"]["layers"]["attn"]
+    assert isinstance(attn["qkv"], dict) and "q4" in attn["qkv"]
+    vlm_attn = served["joint"]["mixtures"]["vlm"]["layers"]["attn"]
+    assert not isinstance(vlm_attn["qkv"], dict)
+    rng = jax.random.key(2)
+    want = pizero.infer_action(params, cfg, rng, ids, img, am, prop)
+    got = pizero.infer_action(served, cfg, rng, ids, img, am, prop)
+    drift = float(np.mean(np.abs(np.asarray(got) - np.asarray(want))))
+    assert drift < 2e-2, f"nf4-expert drift {drift}"

@@ -204,3 +204,126 @@ def test_quantized_model_inference_close_to_float():
     assert np.isfinite(np.asarray(out_q)).all()
     # int8 per-channel quantization of random-init weights: loose but bounded
     assert float(jnp.mean(jnp.abs(out_f - out_q))) < 0.15
+
+
+# --------------------------------------------------------------------------- #
+# 4-bit (NF4) tier — bnb Linear4bit parity (reference lora.py:214-360)
+# --------------------------------------------------------------------------- #
+
+from open_pi_zero_tpu.ops import quantization as q_lib
+
+
+def test_nf4_code_points_roundtrip_exactly():
+    """Values lying exactly on code*absmax must survive quantization."""
+    code = np.asarray(q_lib.NF4_CODE, np.float32)
+    w = jnp.asarray(np.tile(code, 8).reshape(2, 64) * 3.7)
+    d = q_lib.quantize_kernel_nf4(w, block=64)
+    assert d["q4"].dtype == jnp.uint8 and d["q4"].shape == (2, 32)
+    back = q_lib.dequantize_kernel_nf4(d)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(w), rtol=1e-6)
+
+
+def test_nf4_kernel_roundtrip_accuracy_and_memory():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(3, 128, 256)).astype(np.float32))
+    d = q_lib.quantize_kernel_nf4(w)
+    # stacked layout: leading dims preserved for lax.scan slicing
+    assert d["q4"].shape == (3, 128, 128)
+    assert d["absmax"].shape == (3, 128, 256 // 64)
+    back = np.asarray(q_lib.dequantize_kernel_nf4(d))
+    # NF4 on N(0,1): RMS error ~0.07-0.1 sigma
+    rms = np.sqrt(np.mean((back - np.asarray(w)) ** 2))
+    assert rms < 0.12, rms
+    # ~4.5 bits/param all-in
+    nbytes = d["q4"].size + d["absmax"].size * 4
+    assert nbytes < w.size * 0.6
+
+
+def test_q4tensor_generic_roundtrip_with_double_quant():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(100, 70)).astype(np.float32))  # pad path
+    for qt_kind in ("nf4", "fp4"):
+        qt = q_lib.quantize_4bit(x, quant_type=qt_kind)
+        back = np.asarray(q_lib.dequantize_4bit(qt))
+        assert back.shape == x.shape
+        err = np.abs(back - np.asarray(x))
+        assert np.mean(err) < 0.25, (qt_kind, np.mean(err))
+    # double quantization (bnb compress_statistics) costs little extra error
+    qt_dq = q_lib.quantize_4bit(x, compress_statistics=True)
+    assert qt_dq.scale is None and qt_dq.scale_q is not None
+    back_dq = np.asarray(q_lib.dequantize_4bit(qt_dq))
+    assert np.mean(np.abs(back_dq - np.asarray(x))) < 0.25
+
+
+def test_base_matmul_and_proj_accept_nf4():
+    rng = np.random.default_rng(2)
+    w = jnp.asarray(rng.normal(size=(16, 64)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(5, 16)).astype(np.float32))
+    d = q_lib.quantize_kernel_nf4(w)
+    got = np.asarray(lora_lib.base_matmul(x, d))
+    want = np.asarray(x) @ np.asarray(q_lib.dequantize_kernel_nf4(d))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_merge_lora_nf4_parity():
+    """LoRA-4bit: merged kernel == unmerged (dequant base + delta) forward,
+    the reference's Linear4bit merge invariant."""
+    key = jax.random.key(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    w = jax.random.normal(k1, (3, 16, 64))  # stacked [L, in, out]
+    lp = {
+        "w": q_lib.quantize_kernel_nf4(w),
+        "w_lora": {
+            "a": jax.random.normal(k2, (3, 16, 4)) * 0.1,
+            "b": jax.random.normal(k3, (3, 4, 64)) * 0.1,
+        },
+    }
+    x = jax.random.normal(jax.random.key(4), (3, 5, 16))
+    merged = lora_lib.merge_lora(lp, scaling=1.7)
+    assert "w_lora" not in merged
+    for layer in range(3):
+        unmerged = lora_lib.proj(
+            {"w": jax.tree.map(lambda v: v[layer], lp["w"]),
+             "w_lora": jax.tree.map(lambda v: v[layer], lp["w_lora"])},
+            "w", x[layer], scaling=1.7,
+        )
+        np.testing.assert_allclose(
+            np.asarray(x[layer] @ merged["w"][layer]), np.asarray(unmerged),
+            rtol=1e-4, atol=1e-4,
+        )
+
+
+def test_quantize_base_weights_bits4_and_idempotent():
+    rng = np.random.default_rng(3)
+    tree = {"attn": {"q": jnp.asarray(rng.normal(size=(2, 16, 128)).astype(np.float32))}}
+    qt = lora_lib.quantize_base_weights(tree, bits=4)
+    assert qt["attn"]["q"]["q4"].dtype == jnp.uint8
+    again = lora_lib.quantize_base_weights(qt, bits=4)
+    assert again["attn"]["q"]["q4"] is qt["attn"]["q"]["q4"]
+    deq = np.asarray(q_lib.dequantize_kernel_nf4(qt["attn"]["q"]))
+    # worst-case NF4 error = absmax * half the largest code gap (~0.14);
+    # a 64-sample N(0,1) block's absmax can reach ~3.5
+    err = deq - np.asarray(tree["attn"]["q"])
+    assert np.abs(err).max() < 0.6 and np.sqrt(np.mean(err**2)) < 0.12
+
+
+@pytest.mark.slow
+def test_nf4_model_inference_close_to_float():
+    """NF4 base weights flow through the full inference path (the 4-bit
+    serving tier, reference lora.py:83-100)."""
+    cfg = tiny_pizero_config()
+    params = pizero.init_params(jax.random.key(0), cfg)
+    qparams = dict(params)
+    qparams["joint"] = lora_lib.quantize_base_weights(params["joint"], bits=4)
+
+    rng = jax.random.key(1)
+    ids = jnp.zeros((1, cfg.max_image_text_tokens), jnp.int32)
+    ids = ids.at[:, : cfg.siglip.num_image_tokens].set(cfg.image_token_index)
+    am = (ids != 0).astype(jnp.int32)
+    img = jnp.zeros((1, 28, 28, 3))
+    prop = jnp.ones((1, 1, cfg.proprio_dim)) * 0.1
+
+    out_f = pizero.infer_action(params, cfg, rng, ids, img, am, prop)
+    out_q = pizero.infer_action(qparams, cfg, rng, ids, img, am, prop)
+    assert np.isfinite(np.asarray(out_q)).all()
+    assert float(jnp.mean(jnp.abs(out_f - out_q))) < 0.25
