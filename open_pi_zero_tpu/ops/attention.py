@@ -32,13 +32,20 @@ def mot_attention(
     softcap: Optional[float] = 50.0,
 ) -> jax.Array:
     """Dispatching entry point: Pallas-fused kernel on TPU (or when forced
-    via OPZ_FUSED_ATTENTION=1/interpret), XLA einsum path otherwise."""
+    via OPZ_FUSED_ATTENTION=1/interpret) — shard_map-wrapped per device
+    when a mesh is registered (parallel.mesh / set_attention_mesh) — and
+    the XLA einsum path otherwise."""
     from open_pi_zero_tpu.ops import pallas_attention as pa
 
     if pa.fused_attention_enabled():
-        return pa.mot_attention_fused(
-            q, k, v, mask, softcap, interpret=pa.fused_interpret_mode()
-        )
+        interpret = pa.fused_interpret_mode()
+        if pa.get_attention_mesh() is not None and jax.device_count() > 1:
+            if pa.shardable_attention(q, k):
+                return pa.mot_attention_fused_sharded(
+                    q, k, v, mask, softcap, interpret=interpret
+                )
+            return mot_attention_xla(q, k, v, mask, softcap)
+        return pa.mot_attention_fused(q, k, v, mask, softcap, interpret=interpret)
     return mot_attention_xla(q, k, v, mask, softcap)
 
 

@@ -179,6 +179,75 @@ mot_attention_fused.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 # --------------------------------------------------------------------------- #
+# Multi-device: shard_map wrapper
+# --------------------------------------------------------------------------- #
+
+_ATTENTION_MESH: Optional[jax.sharding.Mesh] = None
+
+
+def set_attention_mesh(mesh) -> None:
+    """Register the mesh multi-device programs run under so the fused
+    kernel can be shard_map-wrapped (pallas_call is opaque to the GSPMD
+    partitioner, so without this multi-device pjit falls back to the XLA
+    einsum path). Called by the agents / dryrun when they build a mesh;
+    pass None to clear."""
+    global _ATTENTION_MESH
+    _ATTENTION_MESH = mesh
+
+
+def get_attention_mesh():
+    return _ATTENTION_MESH
+
+
+def shardable_attention(q, k) -> bool:
+    """True if (B, Hq, Hkv) divide cleanly over the registered mesh:
+    batch over `data`, query heads over `model`, K/V either sharded with
+    the same head split (Hkv % tp == 0) or replicated (MQA, Hkv == 1 —
+    the MoT trunk) so local GQA grouping stays consistent."""
+    mesh = _ATTENTION_MESH
+    if mesh is None:
+        return False
+    from open_pi_zero_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    dp = mesh.shape.get(DATA_AXIS, 1)
+    tp = mesh.shape.get(MODEL_AXIS, 1)
+    b, _, hq, _ = q.shape
+    hkv = k.shape[2]
+    if b % dp:
+        return False
+    return hq % tp == 0 and (hkv % tp == 0 or hkv == 1)
+
+
+def mot_attention_fused_sharded(q, k, v, mask, softcap=50.0, interpret=False):
+    """Fused attention under a multi-device mesh: one pallas_call per
+    shard via shard_map — batch split over `data`, query heads over
+    `model`, mask replicated on `model`. Attention is embarrassingly
+    parallel over (batch, head), so no collectives are needed; jit
+    reshards the inputs to these specs and the custom VJP inside each
+    shard still recomputes through the XLA path for gradients."""
+    from jax.sharding import PartitionSpec as P
+
+    from open_pi_zero_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    mesh = _ATTENTION_MESH
+    tp = mesh.shape.get(MODEL_AXIS, 1)
+    hkv = k.shape[2]
+    qs = P(DATA_AXIS, None, MODEL_AXIS, None)
+    kvs = qs if (tp > 1 and hkv % tp == 0) else P(DATA_AXIS, None, None, None)
+    ms = P(DATA_AXIS, None, None, None)
+    f = jax.shard_map(
+        functools.partial(
+            mot_attention_fused, softcap=softcap, interpret=interpret
+        ),
+        mesh=mesh,
+        in_specs=(qs, kvs, kvs, ms),
+        out_specs=qs,
+        check_vma=False,
+    )
+    return f(q, k, v, mask)
+
+
+# --------------------------------------------------------------------------- #
 # Dispatch policy
 # --------------------------------------------------------------------------- #
 
@@ -190,10 +259,12 @@ def fused_attention_enabled() -> bool:
         return True
     if _FORCE == "0":
         return False
-    # auto: single-chip TPU only — pallas_call is opaque to the GSPMD
-    # partitioner, so multi-device pjit programs take the XLA einsum path
-    # (or wrap the model in shard_map and set OPZ_FUSED_ATTENTION=1)
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+    # auto: TPU; single-chip always, multi-device only with a registered
+    # mesh (the shard_map wrapper above — ops/attention.py also checks
+    # shardable_attention() per call site)
+    if jax.default_backend() != "tpu":
+        return False
+    return jax.device_count() == 1 or _ATTENTION_MESH is not None
 
 
 def fused_interpret_mode() -> bool:

@@ -40,7 +40,14 @@ def make_mesh(
         f"mesh {n_data}x{n_model} != {len(devices)} devices"
     )
     arr = np.asarray(devices).reshape(n_data, n_model)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    mesh = Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    # register for the fused-attention shard_map wrapper: multi-device pjit
+    # keeps the Pallas kernel instead of silently falling back to the XLA
+    # path (ops/pallas_attention.py; the round-1 multi-chip perf cliff)
+    from open_pi_zero_tpu.ops import pallas_attention as _pa
+
+    _pa.set_attention_mesh(mesh)
+    return mesh
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

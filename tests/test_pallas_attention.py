@@ -102,3 +102,88 @@ def test_fused_jits_under_scan():
 
     out = run(q)
     assert out.shape == q.shape and np.isfinite(np.asarray(out)).all()
+
+
+# --------------------------------------------------------------------------- #
+# Multi-device: shard_map-wrapped kernel under a (data, model) mesh
+# --------------------------------------------------------------------------- #
+
+
+class TestShardedFused:
+    def _mesh_run(self, geom, n_data, n_model, hkv_sharded_expected=None):
+        from open_pi_zero_tpu.ops import pallas_attention as pa
+        from open_pi_zero_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(5)
+        q, k, v, mask = _rand_inputs(rng, *geom)
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        pa.set_attention_mesh(mesh)
+        try:
+            assert pa.shardable_attention(q, k)
+            got = jax.jit(
+                lambda *a: pa.mot_attention_fused_sharded(*a, interpret=True)
+            )(q, k, v, mask)
+        finally:
+            pa.set_attention_mesh(None)
+        want = mot_attention_xla(q, k, v, mask, 50.0)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )
+
+    def test_tp_forward_matches_xla_mqa(self):
+        # MoT trunk shape: Hkv=1 (replicated K/V), query heads over model=4
+        self._mesh_run((2, 37, 41, 8, 1, 32), n_data=2, n_model=4)
+
+    def test_tp_forward_matches_xla_gqa_sharded_kv(self):
+        # Hkv divisible by tp: K/V heads sharded alongside the query heads
+        self._mesh_run((2, 12, 20, 8, 4, 16), n_data=2, n_model=4)
+
+    def test_dispatch_uses_sharded_kernel_under_mesh(self, monkeypatch):
+        """mot_attention must route to the shard_map kernel when a mesh is
+        registered (the multi-device perf cliff from round 1)."""
+        from open_pi_zero_tpu.ops import attention as att
+        from open_pi_zero_tpu.ops import pallas_attention as pa
+        from open_pi_zero_tpu.parallel import make_mesh
+
+        monkeypatch.setattr(pa, "_FORCE", "interpret")
+        rng = np.random.default_rng(9)
+        q, k, v, mask = _rand_inputs(rng, 2, 16, 24, 8, 1, 32)
+        mesh = make_mesh(n_data=2, n_model=4)
+        pa.set_attention_mesh(mesh)
+        called = {}
+        orig = pa.mot_attention_fused_sharded
+
+        def spy(*a, **kw):
+            called["sharded"] = True
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(pa, "mot_attention_fused_sharded", spy)
+        try:
+            got = att.mot_attention(q, k, v, mask)
+        finally:
+            pa.set_attention_mesh(None)
+        assert called.get("sharded")
+        want = mot_attention_xla(q, k, v, mask, 50.0)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )
+
+    def test_non_divisible_heads_fall_back_to_xla(self, monkeypatch):
+        from open_pi_zero_tpu.ops import attention as att
+        from open_pi_zero_tpu.ops import pallas_attention as pa
+        from open_pi_zero_tpu.parallel import make_mesh
+
+        monkeypatch.setattr(pa, "_FORCE", "interpret")
+        rng = np.random.default_rng(13)
+        q, k, v, mask = _rand_inputs(rng, 2, 8, 8, 6, 2, 16)  # Hq=6 % 4 != 0
+        mesh = make_mesh(n_data=2, n_model=4)
+        pa.set_attention_mesh(mesh)
+        try:
+            assert not pa.shardable_attention(q, k)
+            got = att.mot_attention(q, k, v, mask)
+        finally:
+            pa.set_attention_mesh(None)
+        want = mot_attention_xla(q, k, v, mask, 50.0)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6
+        )
