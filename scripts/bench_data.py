@@ -99,21 +99,37 @@ def main():
     fps = args.steps * args.batch / dt
     print(f"pipeline: {fps:.0f} frames/s ({args.batch}x{args.steps} in {dt:.2f}s)")
 
-    # raw record ingest: tf.data vs native reader
+    # raw record ingest: tf.data vs native reader (loop the shard list a few
+    # times so the small synthetic fixture gives a stable rate)
     d = os.path.join(args.data_dir, f"{args.mix}_dataset")
     spec = rlds.load_spec(d)
     files = rlds.shard_files(d, spec, "train")
+    reps = 8
 
     t0 = time.perf_counter()
-    n = sum(1 for _ in tf.data.TFRecordDataset(files, num_parallel_reads=4))
+    n = sum(1 for _ in tf.data.TFRecordDataset(files * reps, num_parallel_reads=4))
     tf_rate = n / (time.perf_counter() - t0)
     print(f"tf.data ingest: {tf_rate:.0f} records/s ({n} records)")
 
+    nat_rate = None
     if native_io.native_available():
         t0 = time.perf_counter()
-        n2 = sum(1 for _ in native_io.TFRecordReader(files, num_threads=4))
+        n2 = sum(1 for _ in native_io.TFRecordReader(files * reps, num_threads=4))
         nat_rate = n2 / (time.perf_counter() - t0)
         print(f"native ingest:  {nat_rate:.0f} records/s ({n2} records, crc-verified)")
+
+    import json
+
+    print(json.dumps({
+        "metric": "data_pipeline_frames_per_s",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "batch": args.batch,
+        "tf_ingest_records_per_s": round(tf_rate, 1),
+        "native_ingest_records_per_s": round(nat_rate, 1) if nat_rate else None,
+        "native_vs_tf": round(nat_rate / tf_rate, 2) if nat_rate else None,
+        "synthetic": bool(args.synthetic or args.data_dir.startswith("/tmp")),
+    }))
 
 
 if __name__ == "__main__":
