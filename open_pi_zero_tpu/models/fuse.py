@@ -89,6 +89,12 @@ def prepare_for_serving(params: dict, quantize_mixtures=(), bits: int = 8) -> di
     Quantizing the VLM too saves only ~0.3 ms more (prefill runs once) for
     ~1.7x the drift, so the default serving config is expert-only.
 
+    bits=4 (NF4) is a MEMORY tier, not a latency tier: measured 88.7 ms
+    and 1.1e-2 drift on v5e (the 16-entry codebook gather re-runs every
+    Euler step and XLA lowers it to slow dynamic gathers; drift is outside
+    the reference band). Use it for QLoRA-style frozen bases and
+    checkpoint compression, keep serving on int8.
+
     LoRA adapters must be merged first (ops.lora.merge_lora); fusion
     refuses adapter-carrying trees.
     """

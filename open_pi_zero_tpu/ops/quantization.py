@@ -199,14 +199,18 @@ def quantize_kernel_nf4(w: jax.Array, block: int = DEFAULT_BLOCK_4BIT) -> dict:
     block = math.gcd(block, w.shape[-1])
     if w.shape[-1] % 2:
         raise ValueError(f"last dim {w.shape[-1]} must be even to pack nibbles")
-    code = _code_table("nf4")
     lead = w.shape[:-1]
     blocks = w.astype(jnp.float32).reshape(*lead, -1, block)
     absmax = jnp.max(jnp.abs(blocks), axis=-1, keepdims=True)
     scale = jnp.where(absmax == 0, 1.0, absmax)
-    idx = jnp.argmin(
-        jnp.abs((blocks / scale)[..., None] - code), axis=-1
-    ).astype(jnp.uint8)
+    normed = blocks / scale
+    # nearest NF4 entry via midpoint binning (the table is sorted): 15
+    # accumulated comparisons keep peak memory at ~3x the weights, vs 16x
+    # for a broadcast argmin (which OOMs a 16 GB chip on the 0.3B expert)
+    mids = [(NF4_CODE[i] + NF4_CODE[i + 1]) / 2.0 for i in range(15)]
+    idx = jnp.zeros(normed.shape, jnp.uint8)
+    for m in mids:
+        idx = idx + (normed >= m).astype(jnp.uint8)
     idx = idx.reshape(*lead, -1)  # nibbles in original column order
     packed = (idx[..., 1::2] << 4) | idx[..., 0::2]
     return {"q4": packed, "absmax": scale[..., 0]}

@@ -48,15 +48,17 @@ def main():
     )
 
     variants = {
-        "bf16_fused": (),
-        "int8_expert": ("action",),
-        "int8_joint": ("vlm", "action"),
+        "bf16_fused": ((), 8),
+        "int8_expert": (("action",), 8),
+        "int8_joint": (("vlm", "action"), 8),
+        "nf4_expert": (("action",), 4),
     }
 
-    def run(quantize_mixtures):
+    def run(quantize_mixtures, bits=8):
         params = fuse.prepare_for_serving(
             pizero.init_params(jax.random.key(0), cfg, dtype=jnp.bfloat16),
             quantize_mixtures=quantize_mixtures,
+            bits=bits,
         )
 
         def chained(params, rng, ids, img, am, prop, noise):
@@ -81,8 +83,8 @@ def main():
         return ms, chunk
 
     base_chunk = None
-    for name, mixes in variants.items():
-        ms, chunk = run(mixes)
+    for name, (mixes, bits) in variants.items():
+        ms, chunk = run(mixes, bits)
         drift = (
             None
             if base_chunk is None

@@ -536,6 +536,16 @@ def test_eval_agent_loads_lora_checkpoint(tmp_path, monkeypatch):
     act_attn_b = agent_b.params["joint"]["mixtures"]["action"]["layers"]["attn"]
     assert not (isinstance(act_attn_b["qkv"], dict) and "scale" in act_attn_b["qkv"])
 
+    # 4-bit (NF4) serving tier: quantize_bits=4 loads, serves, runs
+    cfg_q4 = ConfigDict(
+        {**cfg, "quantize_bits": 4, "log_dir": str(tmp_path / "evalq4")}
+    )
+    agent_q4 = EvalAgent(cfg_q4, env=FakeEnv(), adapter=_adapter())
+    act_attn_q4 = agent_q4.params["joint"]["mixtures"]["action"]["layers"]["attn"]
+    assert isinstance(act_attn_q4["qkv"], dict) and "q4" in act_attn_q4["qkv"]
+    result_q4 = agent_q4.run()
+    assert result_q4["n_episodes"] == 1
+
 
 @pytest.mark.slow
 def test_train_agent_auto_resume(bridge_dir, tmp_path):
