@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Batched serving throughput (action chunks/s) on one chip.
+
+Beyond the reference's headline (B=1 latency, 75 ms on a 4090 =
+~13 chunks/s): at batch B the Euler loop amortizes its weight streaming
+B ways and the prefill matmuls move up the MXU roofline, so a single v5e
+chip can serve many robots at once. Uses the production serving layout
+(bf16 fused + int8 action expert) and bench.py's data-dependency-chain
+timing.
+
+Run on the real chip:
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_throughput.py \
+      [--batches 1 4 8 16]
+
+Prints one JSON line per batch size.
+"""
+
+from __future__ import annotations
+
+import argparse
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CHAIN = 20
+WARMUP = 5
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batches", type=int, nargs="+", default=[1, 4, 8, 16])
+    args = parser.parse_args()
+
+    from open_pi_zero_tpu.config import PiZeroConfig
+    from open_pi_zero_tpu.models import fuse, pizero
+
+    import __graft_entry__ as graft
+
+    cfg = PiZeroConfig()
+    params = fuse.prepare_for_serving(
+        pizero.init_params(jax.random.key(0), cfg, dtype=jnp.bfloat16),
+        quantize_mixtures=("action",),
+    )
+    rng = jax.random.key(1)
+
+    for b in args.batches:
+        ids, img, am, prop = graft._example_batch(cfg, b=b)
+        ids, am = jnp.asarray(ids), jnp.asarray(am)
+        img = jnp.asarray(img, jnp.bfloat16)
+        prop = jnp.asarray(prop, jnp.bfloat16)
+
+        def chained(params, rng, ids, img, am, prop):
+            out = pizero.infer_action(params, cfg, rng, ids, img, am, prop)
+            return prop + (0.0 * out.mean()).astype(prop.dtype), out
+
+        jfn = jax.jit(chained)
+        x, out = jfn(params, rng, ids, img, am, prop)
+        _ = np.asarray(out[0, 0, 0])
+        for _ in range(WARMUP):
+            x, out = jfn(params, rng, ids, img, am, x)
+        _ = np.asarray(out[0, 0, 0])
+        t0 = time.perf_counter()
+        for _ in range(CHAIN):
+            x, out = jfn(params, rng, ids, img, am, x)
+        _ = np.asarray(out[0, 0, 0])
+        ms = (time.perf_counter() - t0) * 1e3 / CHAIN
+        print(
+            json.dumps(
+                {
+                    "batch": b,
+                    "ms_per_call": round(ms, 3),
+                    "chunks_per_s": round(b * 1e3 / ms, 1),
+                    "ms_per_chunk": round(ms / b, 3),
+                }
+            ),
+            flush=True,
+        )
+        del jfn, x, out
+        gc.collect()
+
+
+if __name__ == "__main__":
+    main()
