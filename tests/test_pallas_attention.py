@@ -187,3 +187,33 @@ class TestShardedFused:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6
         )
+
+    def test_grads_through_sharded_kernel(self):
+        """Backward through shard_map: the replicated-K/V (MQA) cotangents
+        must be psum'ed over the model axis — compare against the global
+        XLA gradient."""
+        from open_pi_zero_tpu.ops import pallas_attention as pa
+        from open_pi_zero_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(17)
+        q, k, v, mask = _rand_inputs(rng, 2, 16, 24, 8, 1, 32)
+        mesh = make_mesh(n_data=2, n_model=4)
+        pa.set_attention_mesh(mesh)
+        try:
+            g_s = jax.jit(jax.grad(
+                lambda q, k, v: pa.mot_attention_fused_sharded(
+                    q, k, v, mask, interpret=True
+                ).sum(),
+                argnums=(0, 1, 2),
+            ))(q, k, v)
+        finally:
+            pa.set_attention_mesh(None)
+        g_x = jax.jit(jax.grad(
+            lambda q, k, v: mot_attention_xla(q, k, v, mask).sum(),
+            argnums=(0, 1, 2),
+        ))(q, k, v)
+        for name, a, b in zip("qkv", g_s, g_x):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+                err_msg=f"d{name} mismatch through shard_map",
+            )
