@@ -34,7 +34,7 @@ def _assert_fusable(d: dict, names):
                 "cannot fuse projections with live LoRA adapters — apply "
                 "ops.lora.merge_lora first"
             )
-        if isinstance(d.get(n), dict) and ({"q", "q4"} & set(d.get(n, {}))):
+        if isinstance(d.get(n), dict) and ({"q", "qa", "q4"} & set(d.get(n, {}))):
             raise ValueError(
                 "cannot fuse quantized bases — fusion is for the "
                 "float serving path (fuse first, then quantize)"
@@ -75,7 +75,14 @@ def fuse_siglip_layers(layers: dict) -> dict:
     return out
 
 
-def prepare_for_serving(params: dict, quantize_mixtures=(), bits: int = 8) -> dict:
+def prepare_for_serving(
+    params: dict,
+    quantize_mixtures=(),
+    bits: int = 8,
+    w8a8_mixtures=(),
+    w8a8_siglip: bool = False,
+    w8a8_keys=None,
+) -> dict:
     """Full serving-layout pipeline: fuse qkv/gate+up, then (optionally)
     quantize the kernels of the named trunk mixtures (bits=8 per-channel
     int8, bits=4 blockwise NF4 — the bnb Linear4bit tier,
@@ -101,14 +108,30 @@ def prepare_for_serving(params: dict, quantize_mixtures=(), bits: int = 8) -> di
     from open_pi_zero_tpu.ops import lora as lora_lib
 
     params = fuse_for_serving(params)
-    if quantize_mixtures:
+    if quantize_mixtures or w8a8_mixtures:
         joint = dict(params["joint"])
         mixtures = dict(joint["mixtures"])
         for m in quantize_mixtures:
             if m in mixtures:  # "proprio" is absent when tied to "action"
                 mixtures[m] = lora_lib.quantize_base_weights(mixtures[m], bits=bits)
+        for m in w8a8_mixtures:
+            if m in mixtures:
+                mixtures[m] = lora_lib.quantize_base_weights(
+                    mixtures[m],
+                    keys=w8a8_keys or lora_lib.QUANTIZE_KEYS,
+                    w8a8=True,
+                )
         joint["mixtures"] = mixtures
         params = {**params, "joint": joint}
+    if w8a8_siglip:
+        sig = dict(params["siglip"])
+        # encoder-layer kernels only: patch/position embeddings and the
+        # multimodal projector stay float (negligible FLOPs, image-boundary
+        # numerics)
+        sig["layers"] = lora_lib.quantize_base_weights(
+            sig["layers"], keys=("kernel",), w8a8=True
+        )
+        params = {**params, "siglip": sig}
     return params
 
 

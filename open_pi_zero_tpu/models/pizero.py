@@ -171,6 +171,18 @@ def prepare_action_inputs(cfg: PiZeroConfig, attention_mask: Array):
 # --------------------------------------------------------------------------- #
 
 
+def _hoist_nf4(tree, dtype):
+    """Replace every NF4 {q4, absmax} leaf-dict with its dequantized kernel
+    (no-op for float / int8 / W8A8 trees)."""
+    if isinstance(tree, dict):
+        if "q4" in tree and "absmax" in tree:
+            from open_pi_zero_tpu.ops.quantization import dequantize_kernel_nf4
+
+            return dequantize_kernel_nf4(tree, dtype)
+        return {k: _hoist_nf4(v, dtype) for k, v in tree.items()}
+    return tree
+
+
 def infer_action(
     params: dict,
     cfg: PiZeroConfig,
@@ -186,6 +198,12 @@ def infer_action(
     """
     dtype = pixel_values.dtype
     b = input_ids.shape[0]
+    # NF4 4-bit tier: dequantize ONCE per call, outside the Euler loop.
+    # The at-rest/checkpoint footprint stays 4-bit; inside the call a
+    # transient bf16 copy streams through the steps like the bf16 tier
+    # (leaving the dequant inline re-runs the codebook decode every Euler
+    # step — measured 88.7 ms vs ~20 ms hoisted on v5e at bridge scale).
+    params = {**params, "joint": _hoist_nf4(params["joint"], dtype)}
     _, prefix_mask, action_mask, pos = prepare_action_inputs(cfg, attention_mask)
 
     inputs_embeds = embed_image_text(params, cfg, input_ids, pixel_values)

@@ -14,10 +14,23 @@ import jax
 import jax.numpy as jnp
 
 
-def linear(x: jax.Array, kernel: jax.Array, bias: Optional[jax.Array] = None) -> jax.Array:
-    out = jnp.einsum(
-        "...i,io->...o", x, kernel, preferred_element_type=jnp.float32
-    )
+def linear(x: jax.Array, kernel, bias: Optional[jax.Array] = None) -> jax.Array:
+    """Dense layer. `kernel` is a plain [in, out] array, or a W8A8 dict
+    {qa: int8 [in, out], scale: f32 [out]} (ops/quantization.py) — then the
+    activations are dynamically quantized per token and the dot runs
+    native int8 x int8 on the MXU with a rank-1 fp32 dequant epilogue."""
+    if isinstance(kernel, dict):
+        from open_pi_zero_tpu.ops.quantization import quantize_act_per_token
+
+        xq, sx = quantize_act_per_token(x)
+        out = jnp.einsum(
+            "...i,io->...o", xq, kernel["qa"], preferred_element_type=jnp.int32
+        )
+        out = out.astype(jnp.float32) * sx * kernel["scale"].astype(jnp.float32)
+    else:
+        out = jnp.einsum(
+            "...i,io->...o", x, kernel, preferred_element_type=jnp.float32
+        )
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out.astype(x.dtype)

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from open_pi_zero_tpu.ops.quantization import (
     dequantize_kernel_nf4,
+    quantize_act_per_token,
     quantize_int8_rowwise,
     quantize_kernel_nf4,
 )
@@ -57,16 +58,30 @@ def lora_delta(x: jax.Array, lora: dict, scaling: float) -> jax.Array:
 
 
 def base_matmul(x: jax.Array, w, spec: str = "...i,io->...o") -> jax.Array:
-    """Matmul against a plain kernel, an int8-quantized {q, scale} dict, or
-    an NF4 {q4, absmax} dict, fp32 accumulation. int8 applies the dequant
-    scale in the matmul epilogue; NF4 dequantizes the kernel first (the bnb
-    Linear4bit semantics, reference lora.py:214-243 — serving uses the
-    Pallas fused dequant-matmul instead)."""
+    """Matmul against a plain kernel or a quantized dict, fp32 accumulation.
+    Quantized tiers (functional stand-ins for the reference's bnb native
+    kernels, reference lora.py:83-100,214-243):
+      {q, scale}   weight-only int8 per output channel — the int8 payload is
+                   cast to the activation dtype at use (XLA fuses the convert
+                   into the dot's operand read), so it halves HBM weight
+                   streaming; compute stays bf16.
+      {qa, scale}  W8A8: per-token dynamic activation quantization + NATIVE
+                   int8 x int8 MXU dot (int32 accumulation), rank-1 fp32
+                   dequant epilogue. A compute-throughput tier for the
+                   prefill/vision towers where matmuls are MXU-bound.
+      {q4, absmax} blockwise NF4 (bnb Linear4bit) — dequantized to the
+                   activation dtype before the matmul (a memory tier; the
+                   serving path hoists this dequant out of the Euler loop,
+                   models/pizero.py)."""
     if isinstance(w, dict) and "q4" in w:
         return jnp.einsum(
             spec, x, dequantize_kernel_nf4(w, x.dtype),
             preferred_element_type=jnp.float32,
         )
+    if isinstance(w, dict) and "qa" in w:
+        xq, sx = quantize_act_per_token(x)
+        out = jnp.einsum(spec, xq, w["qa"], preferred_element_type=jnp.int32)
+        return out.astype(jnp.float32) * sx * w["scale"].astype(jnp.float32)
     if isinstance(w, dict) and "q" in w:
         out = jnp.einsum(
             spec, x, w["q"].astype(x.dtype), preferred_element_type=jnp.float32
@@ -123,11 +138,12 @@ def merge_lora(params, scaling: float = 1.0):
                 base = v
                 if isinstance(base, dict) and "q4" in base:
                     base = dequantize_kernel_nf4(base)
-                elif isinstance(base, dict) and "q" in base:
+                elif isinstance(base, dict) and ("q" in base or "qa" in base):
+                    payload = base["q"] if "q" in base else base["qa"]
                     scale = base["scale"]
-                    if base["q"].ndim == 3:  # stacked [L, in, out], scale [L, out]
+                    if payload.ndim == 3:  # stacked [L, in, out], scale [L, out]
                         scale = scale[:, None, :]
-                    base = base["q"].astype(jnp.float32) * scale
+                    base = payload.astype(jnp.float32) * scale
                 delta = scaling * jnp.einsum(
                     "...ir,...ro->...io", lora["a"].astype(jnp.float32),
                     lora["b"].astype(jnp.float32),
@@ -145,22 +161,29 @@ def merge_lora(params, scaling: float = 1.0):
 QUANTIZE_KEYS = ("q", "k", "v", "o", "gate", "up", "down", "qkv", "gateup")
 
 
-def quantize_base_weights(tree, keys=QUANTIZE_KEYS, bits: int = 8):
+def quantize_base_weights(tree, keys=QUANTIZE_KEYS, bits: int = 8, w8a8: bool = False):
     """Replace matching 2-D/3-D float kernels with quantized dicts: int8 ->
     {q, scale} per output channel; 4 -> NF4 {q4, absmax} blockwise (the bnb
     Linear4bit tier, reference lora.py:83-100). Stacked [L, in, out] kernels
-    quantize per-layer. Apply AFTER loading pretrained weights."""
+    quantize per-layer. Apply AFTER loading pretrained weights.
+
+    w8a8=True stores the int8 payload under "qa" instead of "q", which makes
+    base_matmul ALSO quantize the activations per token and run a native
+    int8 x int8 MXU dot — the compute-throughput tier for MXU-bound towers
+    (prefill / SigLIP). Only valid with bits=8."""
     assert bits in (8, 4), f"bits must be 8 or 4, got {bits}"
+    assert not (w8a8 and bits == 4), "w8a8 is an int8 tier"
+    payload = "qa" if w8a8 else "q"
 
     def q(w):
         if bits == 4:
             return quantize_kernel_nf4(w)
         if w.ndim == 2:
             qv, s = quantize_int8_rowwise(w)
-            return {"q": qv, "scale": s}
+            return {payload: qv, "scale": s}
         qs = [quantize_int8_rowwise(w[i]) for i in range(w.shape[0])]
         return {
-            "q": jnp.stack([x[0] for x in qs]),
+            payload: jnp.stack([x[0] for x in qs]),
             "scale": jnp.stack([x[1] for x in qs]),
         }
 
@@ -169,7 +192,7 @@ def quantize_base_weights(tree, keys=QUANTIZE_KEYS, bits: int = 8):
             return d
         if "q4" in d and "absmax" in d:
             return d  # already quantized — idempotent
-        if "q" in d and "scale" in d and not isinstance(d["q"], dict):
+        if "scale" in d and ("qa" in d or ("q" in d and not isinstance(d["q"], dict))):
             return d  # already quantized — idempotent
         out = {}
         for k, v in d.items():

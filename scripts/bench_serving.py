@@ -48,17 +48,25 @@ def main():
     )
 
     variants = {
-        "bf16_fused": ((), 8),
-        "int8_expert": (("action",), 8),
-        "int8_joint": (("vlm", "action"), 8),
-        "nf4_expert": (("action",), 4),
+        "bf16_fused": dict(),
+        "int8_expert": dict(quantize_mixtures=("action",)),
+        "int8_joint": dict(quantize_mixtures=("vlm", "action")),
+        "nf4_expert": dict(quantize_mixtures=("action",), bits=4),
+        # W8A8 compute tier: native int8 x int8 MXU dots on the prefill
+        # towers (weights AND dynamically-quantized activations), int8
+        # weight-only on the Euler-loop expert
+        "w8a8_vlm_int8_expert": dict(
+            quantize_mixtures=("action",), w8a8_mixtures=("vlm",)
+        ),
+        "w8a8_full_int8_expert": dict(
+            quantize_mixtures=("action",), w8a8_mixtures=("vlm",), w8a8_siglip=True
+        ),
     }
 
-    def run(quantize_mixtures, bits=8):
+    def run(**kwargs):
         params = fuse.prepare_for_serving(
             pizero.init_params(jax.random.key(0), cfg, dtype=jnp.bfloat16),
-            quantize_mixtures=quantize_mixtures,
-            bits=bits,
+            **kwargs,
         )
 
         def chained(params, rng, ids, img, am, prop, noise):
@@ -82,9 +90,12 @@ def main():
         gc.collect()
         return ms, chunk
 
+    only = sys.argv[1:]  # optionally bench a subset: bench_serving.py name...
     base_chunk = None
-    for name, (mixes, bits) in variants.items():
-        ms, chunk = run(mixes, bits)
+    for name, kwargs in variants.items():
+        if only and name not in only and name != "bf16_fused":
+            continue
+        ms, chunk = run(**kwargs)
         drift = (
             None
             if base_chunk is None

@@ -108,3 +108,53 @@ def test_prepare_for_serving_nf4_expert_close_to_float(setup):
     got = pizero.infer_action(served, cfg, rng, ids, img, am, prop)
     drift = float(np.mean(np.abs(np.asarray(got) - np.asarray(want))))
     assert drift < 2e-2, f"nf4-expert drift {drift}"
+
+
+@pytest.mark.slow
+def test_prepare_for_serving_w8a8_close_to_float(setup):
+    """W8A8 compute tier (native int8 x int8 MXU dots with dynamic
+    per-token activation quantization) on the prefill towers: bounded
+    drift, payload stored under "qa" so base_matmul takes the native path."""
+    cfg, params, ids, am, img, prop = setup
+    served = fuse.prepare_for_serving(
+        params, w8a8_mixtures=("vlm",), w8a8_siglip=True
+    )
+    vlm_attn = served["joint"]["mixtures"]["vlm"]["layers"]["attn"]
+    assert isinstance(vlm_attn["qkv"], dict) and "qa" in vlm_attn["qkv"]
+    act_attn = served["joint"]["mixtures"]["action"]["layers"]["attn"]
+    assert not isinstance(act_attn["qkv"], dict)
+    sig_attn = served["siglip"]["layers"]["attn"]
+    assert "qa" in sig_attn["qkv"]["kernel"]
+    # embeddings/projector stay float
+    assert not isinstance(served["siglip"]["embeddings"]["patch"]["kernel"], dict)
+    rng = jax.random.key(2)
+    want = pizero.infer_action(params, cfg, rng, ids, img, am, prop)
+    got = jax.jit(
+        lambda p, r, i, pv, a, pr: pizero.infer_action(p, cfg, r, i, pv, a, pr)
+    )(served, rng, ids, img, am, prop)
+    assert np.isfinite(np.asarray(got)).all()
+    drift = float(np.mean(np.abs(np.asarray(got) - np.asarray(want))))
+    assert drift < 2e-2, f"w8a8 drift {drift}"
+
+
+@pytest.mark.slow
+def test_w8a8_merge_lora_dequantizes_qa(setup):
+    """merge_lora must fold adapters into a W8A8 base by dequantizing it."""
+    cfg, params, *_ = setup
+    qtree = lora_lib.quantize_base_weights(
+        params["joint"]["mixtures"]["vlm"], w8a8=True
+    )
+    qkv = qtree["layers"]["attn"]
+    # attach a zero adapter next to q; merge should return a float kernel
+    import jax.numpy as jnp
+
+    L, din, dout = qtree["layers"]["attn"]["q"]["qa"].shape
+    qkv["q_lora"] = {
+        "a": jnp.zeros((L, din, 2), jnp.float32),
+        "b": jnp.zeros((L, 2, dout), jnp.float32),
+    }
+    merged = lora_lib.merge_lora(qtree)
+    w = merged["layers"]["attn"]["q"]
+    assert not isinstance(w, dict) and w.shape == (L, din, dout)
+    ref = params["joint"]["mixtures"]["vlm"]["layers"]["attn"]["q"]
+    assert float(jnp.mean(jnp.abs(w - ref))) < 0.01
