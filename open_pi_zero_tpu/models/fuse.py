@@ -34,7 +34,7 @@ def _assert_fusable(d: dict, names):
                 "cannot fuse projections with live LoRA adapters — apply "
                 "ops.lora.merge_lora first"
             )
-        if isinstance(d.get(n), dict) and ({"q", "qa", "q4"} & set(d.get(n, {}))):
+        if isinstance(d.get(n), dict) and ({"q", "qa", "q4", "q4k"} & set(d.get(n, {}))):
             raise ValueError(
                 "cannot fuse quantized bases — fusion is for the "
                 "float serving path (fuse first, then quantize)"
@@ -79,6 +79,7 @@ def prepare_for_serving(
     params: dict,
     quantize_mixtures=(),
     bits: int = 8,
+    code: str = "nf4",
     w8a8_mixtures=(),
     w8a8_siglip: bool = False,
     w8a8_keys=None,
@@ -113,7 +114,9 @@ def prepare_for_serving(
         mixtures = dict(joint["mixtures"])
         for m in quantize_mixtures:
             if m in mixtures:  # "proprio" is absent when tied to "action"
-                mixtures[m] = lora_lib.quantize_base_weights(mixtures[m], bits=bits)
+                mixtures[m] = lora_lib.quantize_base_weights(
+                    mixtures[m], bits=bits, code=code
+                )
         for m in w8a8_mixtures:
             if m in mixtures:
                 mixtures[m] = lora_lib.quantize_base_weights(

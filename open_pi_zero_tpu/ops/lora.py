@@ -72,7 +72,16 @@ def base_matmul(x: jax.Array, w, spec: str = "...i,io->...o") -> jax.Array:
       {q4, absmax} blockwise NF4 (bnb Linear4bit) — dequantized to the
                    activation dtype before the matmul (a memory tier; the
                    serving path hoists this dequant out of the Euler loop,
-                   models/pizero.py)."""
+                   models/pizero.py).
+      {q4k, kscale} k-packed linear int4 — Pallas fused dequant-matmul on
+                   single-device TPU (ops/pallas_int4.py): nibbles unpack
+                   in VMEM so the weights stream at the 4-bit rate (the
+                   latency tier for the Euler loop's weight re-streaming).
+    """
+    if isinstance(w, dict) and "q4k" in w:
+        from open_pi_zero_tpu.ops.pallas_int4 import int4k_matmul
+
+        return int4k_matmul(x, w)
     if isinstance(w, dict) and "q4" in w:
         return jnp.einsum(
             spec, x, dequantize_kernel_nf4(w, x.dtype),
@@ -136,7 +145,13 @@ def merge_lora(params, scaling: float = 1.0):
             lora = d.get(f"{k}_lora")
             if lora is not None:
                 base = v
-                if isinstance(base, dict) and "q4" in base:
+                if isinstance(base, dict) and "q4k" in base:
+                    from open_pi_zero_tpu.ops.pallas_int4 import (
+                        dequantize_kernel_int4k,
+                    )
+
+                    base = dequantize_kernel_int4k(base)
+                elif isinstance(base, dict) and "q4" in base:
                     base = dequantize_kernel_nf4(base)
                 elif isinstance(base, dict) and ("q" in base or "qa" in base):
                     payload = base["q"] if "q" in base else base["qa"]
@@ -161,10 +176,18 @@ def merge_lora(params, scaling: float = 1.0):
 QUANTIZE_KEYS = ("q", "k", "v", "o", "gate", "up", "down", "qkv", "gateup")
 
 
-def quantize_base_weights(tree, keys=QUANTIZE_KEYS, bits: int = 8, w8a8: bool = False):
+def quantize_base_weights(
+    tree,
+    keys=QUANTIZE_KEYS,
+    bits: int = 8,
+    w8a8: bool = False,
+    code: str = "nf4",
+):
     """Replace matching 2-D/3-D float kernels with quantized dicts: int8 ->
-    {q, scale} per output channel; 4 -> NF4 {q4, absmax} blockwise (the bnb
-    Linear4bit tier, reference lora.py:83-100). Stacked [L, in, out] kernels
+    {q, scale} per output channel; 4 -> blockwise 4-bit, `code` selecting
+    "nf4" {q4, absmax} (the bnb Linear4bit memory tier, reference
+    lora.py:83-100) or "int4k" {q4k, kscale} (the Pallas fused-dequant
+    latency tier, ops/pallas_int4.py). Stacked [L, in, out] kernels
     quantize per-layer. Apply AFTER loading pretrained weights.
 
     w8a8=True stores the int8 payload under "qa" instead of "q", which makes
@@ -173,10 +196,15 @@ def quantize_base_weights(tree, keys=QUANTIZE_KEYS, bits: int = 8, w8a8: bool = 
     (prefill / SigLIP). Only valid with bits=8."""
     assert bits in (8, 4), f"bits must be 8 or 4, got {bits}"
     assert not (w8a8 and bits == 4), "w8a8 is an int8 tier"
+    assert code in ("nf4", "int4k"), f"unknown 4-bit code {code!r}"
     payload = "qa" if w8a8 else "q"
 
     def q(w):
         if bits == 4:
+            if code == "int4k":
+                from open_pi_zero_tpu.ops.pallas_int4 import quantize_kernel_int4k
+
+                return quantize_kernel_int4k(w)
             return quantize_kernel_nf4(w)
         if w.ndim == 2:
             qv, s = quantize_int8_rowwise(w)
@@ -190,7 +218,7 @@ def quantize_base_weights(tree, keys=QUANTIZE_KEYS, bits: int = 8, w8a8: bool = 
     def walk(d):
         if not isinstance(d, dict):
             return d
-        if "q4" in d and "absmax" in d:
+        if ("q4" in d and "absmax" in d) or ("q4k" in d and "kscale" in d):
             return d  # already quantized — idempotent
         if "scale" in d and ("qa" in d or ("q" in d and not isinstance(d["q"], dict))):
             return d  # already quantized — idempotent
