@@ -82,9 +82,10 @@ def main():
     print(
         json.dumps(
             {
-                # production serving layout: bf16 fused + int8 action expert
-                # (drift vs pure bf16 ~1.1e-3 mean L1, inside the reference's
-                # documented cache-drift band — README "Serving variants")
+                # production serving layout: fused + int8 action expert +
+                # W8A8 prefill towers (drift vs pure bf16 ~2.4e-3 mean L1,
+                # inside the reference's documented cache-drift band —
+                # README "Serving variants")
                 "metric": "action_chunk_latency_serving",
                 "value": round(per_call, 3),
                 "unit": "ms",

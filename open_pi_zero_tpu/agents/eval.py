@@ -101,16 +101,28 @@ class EvalAgent:
             params["joint"] = joint
         from open_pi_zero_tpu.models import fuse
 
-        # serving layout: fused qkv/gate+up everywhere; int8 action expert
-        # by default (the Euler loop streams the expert weights 10x —
-        # ~15.5 ms vs ~19.8 ms bf16 at bridge scale on v5e, chunk drift
-        # ~1.1e-3 mean L1, inside the reference's documented cache-drift
-        # band). quantize=false serves pure bf16.
+        # serving layout: fused qkv/gate+up everywhere; by default int8
+        # weight-only on the action expert (the Euler loop streams the
+        # expert weights 10x) AND W8A8 native int8 MXU dots on the prefill
+        # towers (VLM trunk + SigLIP run once per chunk, MXU-bound).
+        # Measured at bridge scale on one v5e: bf16 fused 20.0 ms,
+        # int8-expert 15.9 ms (drift 1.4e-3 L1), + W8A8 prefill 13.1 ms
+        # (drift 2.4e-3) — inside the reference's documented bf16
+        # KV-cache drift band of 5e-4–2.5e-3 (reference README.md:116).
+        # quantize=false serves pure bf16; w8a8=false keeps the prefill
+        # bf16 for maximum numerical headroom.
         if bool(self.cfg.get("quantize", True)):
             mixes = tuple(self.cfg.get("quantize_mixtures", ("action",)))
-            bits = int(self.cfg.get("quantize_bits", 8))  # 8=int8, 4=NF4
+            bits = int(self.cfg.get("quantize_bits", 8))  # 8=int8, 4=4-bit
+            code = str(self.cfg.get("quantize_code", "nf4"))  # nf4|int4k
+            w8a8 = bool(self.cfg.get("w8a8", True))
             params = fuse.prepare_for_serving(
-                params, quantize_mixtures=mixes, bits=bits
+                params,
+                quantize_mixtures=mixes,
+                bits=bits,
+                code=code,
+                w8a8_mixtures=("vlm",) if w8a8 else (),
+                w8a8_siglip=w8a8,
             )
         else:
             params = fuse.prepare_for_serving(params)

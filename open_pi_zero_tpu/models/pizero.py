@@ -171,15 +171,42 @@ def prepare_action_inputs(cfg: PiZeroConfig, attention_mask: Array):
 # --------------------------------------------------------------------------- #
 
 
-def _hoist_nf4(tree, dtype):
-    """Replace every NF4 {q4, absmax} leaf-dict with its dequantized kernel
-    (no-op for float / int8 / W8A8 trees)."""
+def _requant_int8(w: Array) -> dict:
+    """f32 [..., K, N] -> weight-only int8 {q, scale-per-column} (the
+    serving format base_matmul streams; adds <0.5% error on top of the
+    4-bit code)."""
+    absmax = jnp.max(jnp.abs(w), axis=-2)
+    scale = jnp.where(absmax == 0, 1.0, absmax) / 127.0
+    q = jnp.clip(jnp.round(w / scale[..., None, :]), -127, 127).astype(jnp.int8)
+    d = {"q": q, "scale": scale.astype(jnp.float32)}
+    # the barrier forces XLA to MATERIALIZE the decoded copy: without it
+    # the fusion/remat pass sinks the 4-bit decode back into every one of
+    # the 10 unrolled Euler steps (measured: the "hoisted" NF4 path still
+    # cost one full codebook decode per step)
+    return dict(zip(d, jax.lax.optimization_barrier(tuple(d.values()))))
+
+
+def _hoist_4bit(tree):
+    """Replace every 4-bit leaf-dict (NF4 {q4, absmax} or int4k
+    {q4k, kscale}) with a decode-once int8 copy (no-op for float / int8 /
+    W8A8 trees). The at-rest/checkpoint footprint stays 4-bit; inside the
+    call the Euler steps stream int8 (decoding inside the loop instead
+    was measured at one full decode per step — see infer_action)."""
     if isinstance(tree, dict):
         if "q4" in tree and "absmax" in tree:
             from open_pi_zero_tpu.ops.quantization import dequantize_kernel_nf4
 
-            return dequantize_kernel_nf4(tree, dtype)
-        return {k: _hoist_nf4(v, dtype) for k, v in tree.items()}
+            return _requant_int8(dequantize_kernel_nf4(tree))
+        if "q4k" in tree and "kscale" in tree:
+            from open_pi_zero_tpu.ops.pallas_int4 import (
+                dequantize_kernel_int4k,
+                int4_kernel_enabled,
+            )
+
+            if int4_kernel_enabled():
+                return tree  # fused Pallas dequant-matmul streams 4-bit
+            return _requant_int8(dequantize_kernel_int4k(tree))
+        return {k: _hoist_4bit(v) for k, v in tree.items()}
     return tree
 
 
@@ -198,12 +225,13 @@ def infer_action(
     """
     dtype = pixel_values.dtype
     b = input_ids.shape[0]
-    # NF4 4-bit tier: dequantize ONCE per call, outside the Euler loop.
-    # The at-rest/checkpoint footprint stays 4-bit; inside the call a
-    # transient bf16 copy streams through the steps like the bf16 tier
-    # (leaving the dequant inline re-runs the codebook decode every Euler
-    # step — measured 88.7 ms vs ~20 ms hoisted on v5e at bridge scale).
-    params = {**params, "joint": _hoist_nf4(params["joint"], dtype)}
+    # 4-bit tiers (NF4 / int4k): decode ONCE per call to a weight-only
+    # int8 copy, outside the Euler loop. The at-rest/checkpoint footprint
+    # stays 4-bit; the steps stream int8 (decoding inline re-ran the
+    # codebook decode every Euler step — 88.7 ms; a bf16 hoist without an
+    # optimization barrier was sunk back into the steps by XLA — 38 ms;
+    # this path lands near the int8 tier's latency).
+    params = {**params, "joint": _hoist_4bit(params["joint"])}
     _, prefix_mask, action_mask, pos = prepare_action_inputs(cfg, attention_mask)
 
     inputs_embeds = embed_image_text(params, cfg, input_ids, pixel_values)

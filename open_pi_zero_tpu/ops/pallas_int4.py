@@ -95,19 +95,28 @@ def dequantize_kernel_int4k(d: dict, dtype=jnp.float32) -> jax.Array:
 
 def _kernel(x_ref, p_ref, s_ref, out_ref, *, block_k):
     """One N-tile. x [M, K] bf16; p [K//2, Nt] int8 packed; s [K//B, Nt]
-    f32; out [M, Nt]. Whole K resides in VMEM (expert K <= 4096)."""
-    p = p_ref[:].astype(jnp.int32)
-    lo = (p & 15) - 8
-    hi = ((p >> 4) & 15) - 8
-    u = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)  # [K, Nt]
+    f32; out [M, Nt] fp32. Whole K resides in VMEM (expert K <= 4096).
+
+    Only the two bit-ops run in int32 (Mosaic cannot legalize shifts on
+    int8 vectors — 'arith.shrsi' fails for vector<...xi8>); everything
+    downstream is bf16 to keep VPU work and VMEM traffic minimal. Nibble
+    values are exact in bf16, and the bias subtract happens BEFORE the
+    matmul so there is no large-term cancellation (folding -8 into a
+    correction matmul measured ~3% output noise: both terms are ~8x the
+    result)."""
+    p = p_ref[:].astype(jnp.int32)  # int8 -> int32 (bit ops legalize)
+    lo = (p & 15).astype(jnp.bfloat16)
+    hi = ((p >> 4) & 15).astype(jnp.bfloat16)  # arith shift + mask: correct
+    u = jnp.concatenate([lo, hi], axis=0)  # [K, Nt] bf16
     k, nt = u.shape
-    w = (u.reshape(k // block_k, block_k, nt) * s_ref[:][:, None, :]).reshape(k, nt)
+    s = s_ref[:].astype(jnp.bfloat16)  # [Kb, Nt]
+    w = ((u - 8.0).reshape(k // block_k, block_k, nt) * s[:, None, :]).reshape(k, nt)
     out_ref[:] = jax.lax.dot_general(
         x_ref[:],
         w.astype(x_ref.dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(out_ref.dtype)
+    )
 
 
 def _int4k_matmul_2d(
@@ -156,14 +165,15 @@ _FORCE = os.environ.get("OPZ_INT4_KERNEL", "auto")  # auto|1|0|interpret
 
 
 def int4_kernel_enabled() -> bool:
+    """Opt-in (OPZ_INT4_KERNEL=1|interpret). Measured on v5e at bridge
+    scale: the fused kernel is correct but VPU/relayout-bound — the nibble
+    unpack (int8 vectors cannot shift on Mosaic; int32 promotion relayouts
+    4x) costs more than the HBM bytes it saves, so serving defaults to the
+    decode-once-to-int8 hoist in models/pizero.py (same 4-bit at-rest
+    memory, int8 streaming in the Euler loop)."""
     if _FORCE in ("1", "interpret"):
         return True
-    if _FORCE == "0":
-        return False
-    # auto: single-device TPU only — pallas_call is opaque to GSPMD, so
-    # multi-device pjit programs take the XLA fallback (which still halves
-    # at-rest memory, just not the per-step streaming)
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+    return False
 
 
 def _interpret() -> bool:

@@ -211,8 +211,13 @@ def quantize_kernel_nf4(w: jax.Array, block: int = DEFAULT_BLOCK_4BIT) -> dict:
     idx = jnp.zeros(normed.shape, jnp.uint8)
     for m in mids:
         idx = idx + (normed >= m).astype(jnp.uint8)
-    idx = idx.reshape(*lead, -1)  # nibbles in original column order
-    packed = (idx[..., 1::2] << 4) | idx[..., 0::2]
+    idx = idx.reshape(*lead, -1)
+    # halves packing: low nibbles hold columns [0, N/2), high nibbles
+    # [N/2, N) — dequant is then a lane CONCAT, not an interleave (TPU
+    # lane shuffles dominated the decode cost with pair-packing). Internal
+    # layout only: quantize/dequantize are always used as a pair.
+    n = idx.shape[-1]
+    packed = (idx[..., n // 2 :] << 4) | idx[..., : n // 2]
     return {"q4": packed, "absmax": scale[..., 0]}
 
 
@@ -233,7 +238,7 @@ def _lut16(idx: jax.Array, table) -> jax.Array:
 def dequantize_kernel_nf4(d: dict, dtype=jnp.float32) -> jax.Array:
     lo = (d["q4"] & 0x0F).astype(jnp.int32)
     hi = (d["q4"] >> 4).astype(jnp.int32)
-    idx = jnp.stack([lo, hi], axis=-1).reshape(*d["q4"].shape[:-1], -1)
+    idx = jnp.concatenate([lo, hi], axis=-1)  # halves packing (see above)
     g = d["absmax"].shape[-1]
     vals = _lut16(idx, NF4_CODE).reshape(*idx.shape[:-1], g, -1) * d["absmax"][..., None]
     return vals.reshape(idx.shape).astype(dtype)

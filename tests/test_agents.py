@@ -521,11 +521,11 @@ def test_eval_agent_loads_lora_checkpoint(tmp_path, monkeypatch):
     agent = EvalAgent(cfg, env=FakeEnv(), adapter=_adapter())
     assert not lora_lib.has_lora(agent.params)  # merged away
     assert "qkv" in agent.params["joint"]["mixtures"]["vlm"]["layers"]["attn"]
-    # default serving config: int8 action expert, bf16 vlm
+    # default serving config: int8 weight-only action expert, W8A8 vlm
     act_attn = agent.params["joint"]["mixtures"]["action"]["layers"]["attn"]
-    assert isinstance(act_attn["qkv"], dict) and "scale" in act_attn["qkv"]
+    assert isinstance(act_attn["qkv"], dict) and "q" in act_attn["qkv"]
     vlm_attn = agent.params["joint"]["mixtures"]["vlm"]["layers"]["attn"]
-    assert not isinstance(vlm_attn["qkv"], dict) or "scale" not in vlm_attn["qkv"]
+    assert isinstance(vlm_attn["qkv"], dict) and "qa" in vlm_attn["qkv"]
     result = agent.run()
     assert result["n_episodes"] == 1
 
