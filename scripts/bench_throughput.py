@@ -45,9 +45,15 @@ def main():
     import __graft_entry__ as graft
 
     cfg = PiZeroConfig()
+    # production serving layout (same as entry()/EvalAgent default):
+    # W8A8 prefill towers + weight-only int8 action expert — at batch,
+    # the prefill dominates and W8A8's int8 MXU rate pays off even more
+    # than at B=1
     params = fuse.prepare_for_serving(
         pizero.init_params(jax.random.key(0), cfg, dtype=jnp.bfloat16),
         quantize_mixtures=("action",),
+        w8a8_mixtures=("vlm",),
+        w8a8_siglip=True,
     )
     rng = jax.random.key(1)
 
