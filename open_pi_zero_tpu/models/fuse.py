@@ -85,23 +85,25 @@ def prepare_for_serving(
     w8a8_keys=None,
 ) -> dict:
     """Full serving-layout pipeline: fuse qkv/gate+up, then (optionally)
-    quantize the kernels of the named trunk mixtures (bits=8 per-channel
-    int8, bits=4 blockwise NF4 — the bnb Linear4bit tier,
-    reference lora.py:83-100).
+    quantize. Tiers (reference bnb get_layer factory, lora.py:83-100):
 
-    Measured on v5e at bridge scale (B=1, 10 Euler steps):
-    bf16 fused ~19.8 ms; int8 on the action expert ~15.5 ms (the Euler loop
-    streams the expert weights 10x, so halving their bytes dominates), with
-    chunk drift ~1.1e-3 mean L1 — inside the reference's own documented
-    bf16 KV-cache drift band of 5e-4–2.5e-3 (reference README.md:116).
-    Quantizing the VLM too saves only ~0.3 ms more (prefill runs once) for
-    ~1.7x the drift, so the default serving config is expert-only.
+      quantize_mixtures + bits=8        weight-only int8 per channel — the
+          streaming tier for the Euler-loop expert (its weights stream 10x
+          per chunk)
+      quantize_mixtures + bits=4        blockwise 4-bit, `code`="nf4"
+          (bnb Linear4bit memory tier; infer_action decodes it once per
+          call to int8) or "int4k" (Pallas fused-dequant, opt-in kernel)
+      w8a8_mixtures / w8a8_siglip       W8A8: dynamic per-token activation
+          quantization + native int8 x int8 MXU dots — the compute tier
+          for the prefill towers, which run once per chunk and are
+          MXU-bound
 
-    bits=4 (NF4) is a MEMORY tier, not a latency tier: measured 88.7 ms
-    and 1.1e-2 drift on v5e (the 16-entry codebook gather re-runs every
-    Euler step and XLA lowers it to slow dynamic gathers; drift is outside
-    the reference band). Use it for QLoRA-style frozen bases and
-    checkpoint compression, keep serving on int8.
+    Measured on one v5e at bridge scale (B=1, 10 Euler steps,
+    scripts/bench_serving.py): bf16 fused 20.0 ms; int8 expert 15.9 ms
+    (drift 1.4e-3 L1); + W8A8 vlm+siglip 13.1 ms (drift 2.4e-3 — inside
+    the reference's documented bf16 KV-cache drift band of 5e-4–2.5e-3,
+    reference README.md:116; the production default); NF4 expert 21.8 ms
+    (drift ~1.2e-2 at random init — a memory tier, ~4.5 bits/param).
 
     LoRA adapters must be merged first (ops.lora.merge_lora); fusion
     refuses adapter-carrying trees.
