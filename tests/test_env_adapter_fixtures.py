@@ -58,6 +58,8 @@ def _get_image_from_maniskill2_obs_dict(env, obs, camera_name=None):
 def _install_simpler_stub():
     if "simpler_env.utils.env.observation_utils" in sys.modules:
         return
+    import importlib.machinery
+
     names = [
         "simpler_env",
         "simpler_env.utils",
@@ -65,7 +67,10 @@ def _install_simpler_stub():
         "simpler_env.utils.env.observation_utils",
     ]
     for n in names:
-        sys.modules.setdefault(n, types.ModuleType(n))
+        # a real __spec__ keeps later find_spec(n) probes from raising
+        mod = types.ModuleType(n)
+        mod.__spec__ = importlib.machinery.ModuleSpec(n, loader=None)
+        sys.modules.setdefault(n, mod)
     sys.modules[
         "simpler_env.utils.env.observation_utils"
     ].get_image_from_maniskill2_obs_dict = _get_image_from_maniskill2_obs_dict

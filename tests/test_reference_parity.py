@@ -28,12 +28,23 @@ pytestmark = [
 ]
 
 
+def _stub_module(name: str) -> types.ModuleType:
+    """A stub module with a real __spec__: later `find_spec(name)` calls
+    (e.g. transformers' availability probes) raise
+    `ValueError: <name>.__spec__ is None` on bare ModuleType entries."""
+    import importlib.machinery
+
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return mod
+
+
 def _install_stubs():
     from open_pi_zero_tpu.config import ConfigDict
 
     if "bitsandbytes" not in sys.modules:
-        bnb = types.ModuleType("bitsandbytes")
-        bnb_nn = types.ModuleType("bitsandbytes.nn")
+        bnb = _stub_module("bitsandbytes")
+        bnb_nn = _stub_module("bitsandbytes.nn")
 
         class _Linear4bit:  # only subclassed, never instantiated here
             pass
@@ -48,7 +59,7 @@ def _install_stubs():
         sys.modules["bitsandbytes.nn"] = bnb_nn
 
     if "omegaconf" not in sys.modules:
-        om = types.ModuleType("omegaconf")
+        om = _stub_module("omegaconf")
 
         def _merge(a, b):
             def deep(x, y):

@@ -26,8 +26,10 @@ def _install_stubs():
 
     base()
     if "hydra" not in sys.modules:
-        hydra = types.ModuleType("hydra")
-        utils = types.ModuleType("hydra.utils")
+        from tests.test_reference_parity import _stub_module
+
+        hydra = _stub_module("hydra")
+        utils = _stub_module("hydra.utils")
 
         def instantiate(cfg, **kw):
             import importlib
