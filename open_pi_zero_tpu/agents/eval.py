@@ -99,6 +99,10 @@ class EvalAgent:
                 for name, m in joint["mixtures"].items()
             }
             params["joint"] = joint
+            if lora_lib.has_lora(params.get("siglip", {})):
+                params["siglip"] = lora_lib.merge_lora(
+                    params["siglip"], self.model_cfg.siglip.lora_scaling
+                )
         from open_pi_zero_tpu.models import fuse
 
         # serving layout: fused qkv/gate+up everywhere; by default int8

@@ -220,6 +220,15 @@ class SiglipConfig:
     layer_norm_eps: float = 1e-6
     num_image_tokens: int = 256
     projection_dim: int = 2048  # multimodal projector output
+    # the reference's vision tower is LoRA-configurable like the trunk
+    # mixtures (config/train/bridge.yaml `vision.use_lora: ${lora}`,
+    # siglip.py:98-106 get_layer factory)
+    use_lora: bool = False
+    lora: LoraConfig = field(default_factory=LoraConfig)
+
+    @property
+    def lora_scaling(self) -> float:
+        return (self.lora.alpha / self.lora.r) if self.lora.alpha else 1.0
 
     @property
     def head_dim(self) -> int:
@@ -378,6 +387,16 @@ def pizero_config_from_dict(cfg: ConfigDict) -> PiZeroConfig:
         layer_norm_eps=float(vis.get("layer_norm_eps", 1e-6)),
         num_image_tokens=vis.get("num_image_tokens", 256),
         projection_dim=proj_dim,
+        use_lora=bool(cfg.get("vision", ConfigDict()).get("use_lora", False)),
+        lora=LoraConfig(
+            r=int(vis.get("lora", ConfigDict()).get("r", cfg.get("lora_r", 32))),
+            alpha=cfg.get("lora_alpha"),
+            dropout=float(
+                vis.get("lora", ConfigDict()).get(
+                    "dropout", cfg.get("lora_dropout", 0.0)
+                )
+            ),
+        ),
     )
     joint_cfg = cfg.joint.config if "joint" in cfg else ConfigDict()
     mix = cfg.get("mixture", ConfigDict())
@@ -480,6 +499,11 @@ class TrainingConfig:
     # 8-bit optimizer states (reference bnb AdamW8bit; here blockwise-int8
     # quantized optax states)
     quantize_optimizer_states: bool = False
+    # LoRA fine-tune: train ONLY the adapters on the VLM side (vision
+    # tower, projector, vlm mixture) — the reference's
+    # freeze_non_lora_weights_in_vlm (src/agent/train.py:101-102,
+    # pizero.py:236-248); the action expert still trains fully
+    lora: bool = False
 
 
 def training_config_from_dict(cfg: ConfigDict) -> TrainingConfig:
@@ -512,6 +536,7 @@ def training_config_from_dict(cfg: ConfigDict) -> TrainingConfig:
         swa_start=int(cfg.get("swa_start", 0) or 0),
         swa_freq=int(cfg.get("swa_freq", 1) or 1),
         quantize_optimizer_states=bool(cfg.get("quantize", False)),
+        lora=bool(cfg.get("lora", False)),
     )
 
 

@@ -90,6 +90,22 @@ def convert_siglip(tensors: dict, cfg: PiZeroConfig, prefix: str = "vision_tower
             "bias": _stack(tensors, p + "encoder.layers.{}." + name + ".bias", L, transpose=False),
         }
 
+    def group(named: dict) -> dict:
+        """{short: hf_name} -> group dict incl. `<short>_lora` adapters
+        when the checkpoint carries them (reference LoRALinear stores
+        unmerged lora_A [r, in] / lora_B [out, r] beside each frozen
+        .weight — src/model/lora.py:167-168; SigLIP is LoRA-configurable
+        via vision.use_lora, siglip.py:98-106)."""
+        out = {}
+        for short, name in named.items():
+            out[short] = lin(name)
+            if p + "encoder.layers.0." + name + ".lora_A" in tensors:
+                out[f"{short}_lora"] = {
+                    "a": _stack(tensors, p + "encoder.layers.{}." + name + ".lora_A", L),
+                    "b": _stack(tensors, p + "encoder.layers.{}." + name + ".lora_B", L),
+                }
+        return out
+
     return {
         "embeddings": {
             "patch": {
@@ -101,13 +117,13 @@ def convert_siglip(tensors: dict, cfg: PiZeroConfig, prefix: str = "vision_tower
         "layers": {
             "ln1": ln("layer_norm1"),
             "ln2": ln("layer_norm2"),
-            "attn": {
-                "q": lin("self_attn.q_proj"),
-                "k": lin("self_attn.k_proj"),
-                "v": lin("self_attn.v_proj"),
-                "o": lin("self_attn.out_proj"),
-            },
-            "mlp": {"fc1": lin("mlp.fc1"), "fc2": lin("mlp.fc2")},
+            "attn": group({
+                "q": "self_attn.q_proj",
+                "k": "self_attn.k_proj",
+                "v": "self_attn.v_proj",
+                "o": "self_attn.out_proj",
+            }),
+            "mlp": group({"fc1": "mlp.fc1", "fc2": "mlp.fc2"}),
         },
         "post_layernorm": {
             "scale": _np(tensors[p + "post_layernorm.weight"]),

@@ -129,7 +129,9 @@ def embed_image_text(
     """
     text_embeds = params["embed_tokens"][input_ids]  # [B, S, Dv]
     feats = siglip_lib.forward(params["siglip"], cfg.siglip, pixel_values)
-    feats = siglip_lib.project(params["projector"], feats)  # [B, N, Dv]
+    feats = siglip_lib.project(
+        params["projector"], feats, cfg.siglip.lora_scaling
+    )  # [B, N, Dv]
     vlm_hidden = cfg.mixture("vlm").hidden_size
     feats = feats / jnp.asarray(vlm_hidden**0.5, feats.dtype)
 

@@ -62,11 +62,37 @@ def init_params(key: jax.Array, cfg: SiglipConfig, dtype=jnp.float32) -> dict:
         },
         "post_layernorm": {"scale": jnp.ones((D,), dtype), "bias": jnp.zeros((D,), dtype)},
     }
+    if cfg.use_lora:
+        # adapters beside every encoder projection, like the trunk
+        # mixtures (reference siglip.py:98-106 applies get_layer to
+        # q/k/v/o and the MLP)
+        from open_pi_zero_tpu.ops import lora as lora_lib
+
+        dims = {
+            "attn": {"q": (D, D), "k": (D, D), "v": (D, D), "o": (D, D)},
+            "mlp": {"fc1": (D, I), "fc2": (I, D)},
+        }
+        for group, named in dims.items():
+            for n, (din, dout) in named.items():
+                params["layers"][group][f"{n}_lora"] = lora_lib.lora_init(
+                    next(keys), din, dout, cfg.lora.r, dtype, stack=L
+                )
     return params
 
 
 def init_projector_params(key: jax.Array, cfg: SiglipConfig, dtype=jnp.float32) -> dict:
-    return linear_init(key, cfg.hidden_size, cfg.projection_dim, dtype)
+    """Multimodal projector: one biased Linear D -> projection_dim, LoRA-
+    configurable like the tower (reference PaliGemmaMultiModalProjector,
+    siglip.py:9-31, config vision_projector.use_lora)."""
+    k1, k2 = jax.random.split(key)
+    p = linear_init(k1, cfg.hidden_size, cfg.projection_dim, dtype)
+    if cfg.use_lora:
+        from open_pi_zero_tpu.ops import lora as lora_lib
+
+        p["kernel_lora"] = lora_lib.lora_init(
+            k2, cfg.hidden_size, cfg.projection_dim, cfg.lora.r, dtype
+        )
+    return p
 
 
 def patchify(pixel_values: jax.Array, patch: int) -> jax.Array:
@@ -79,27 +105,42 @@ def patchify(pixel_values: jax.Array, patch: int) -> jax.Array:
     return x.reshape(b, gh * gw, patch * patch * c)
 
 
+def _proj(group: dict, name: str, x: jax.Array, scaling: float) -> jax.Array:
+    """LoRA-aware biased projection (the reference applies its get_layer
+    factory to every SigLIP linear, siglip.py:98-106,178-184)."""
+    d = group[name]
+    out = linear(x, d["kernel"], d["bias"])
+    lora = group.get(f"{name}_lora")
+    if lora is not None:
+        from open_pi_zero_tpu.ops import lora as lora_lib
+
+        out = (
+            out.astype(jnp.float32) + lora_lib.lora_delta(x, lora, scaling)
+        ).astype(x.dtype)
+    return out
+
+
 def _encoder_layer(x: jax.Array, lp: dict, cfg: SiglipConfig, eps: float) -> jax.Array:
     b, n, d = x.shape
+    s = cfg.lora_scaling
     h = layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"], eps)
     if "qkv" in lp["attn"]:  # fused serving layout (models/fuse.py)
         qkv = linear(h, lp["attn"]["qkv"]["kernel"], lp["attn"]["qkv"]["bias"])
         q, k, v = jnp.split(qkv, 3, axis=-1)
     else:
-        q = linear(h, lp["attn"]["q"]["kernel"], lp["attn"]["q"]["bias"])
-        k = linear(h, lp["attn"]["k"]["kernel"], lp["attn"]["k"]["bias"])
-        v = linear(h, lp["attn"]["v"]["kernel"], lp["attn"]["v"]["bias"])
+        q = _proj(lp["attn"], "q", h, s)
+        k = _proj(lp["attn"], "k", h, s)
+        v = _proj(lp["attn"], "v", h, s)
     hd = cfg.head_dim
     q = q.reshape(b, n, cfg.num_attention_heads, hd)
     k = k.reshape(b, n, cfg.num_attention_heads, hd)
     v = v.reshape(b, n, cfg.num_attention_heads, hd)
     attn = mha_attention(q, k, v).reshape(b, n, d)
-    x = x + linear(attn, lp["attn"]["o"]["kernel"], lp["attn"]["o"]["bias"])
+    x = x + _proj(lp["attn"], "o", attn, s)
 
     h = layer_norm(x, lp["ln2"]["scale"], lp["ln2"]["bias"], eps)
-    h = linear(h, lp["mlp"]["fc1"]["kernel"], lp["mlp"]["fc1"]["bias"])
-    h = jax.nn.gelu(h, approximate=True)
-    h = linear(h, lp["mlp"]["fc2"]["kernel"], lp["mlp"]["fc2"]["bias"])
+    h = jax.nn.gelu(_proj(lp["mlp"], "fc1", h, s), approximate=True)
+    h = _proj(lp["mlp"], "fc2", h, s)
     return x + h
 
 
@@ -119,6 +160,16 @@ def forward(params: dict, cfg: SiglipConfig, pixel_values: jax.Array) -> jax.Arr
     return x
 
 
-def project(projector_params: dict, features: jax.Array) -> jax.Array:
+def project(
+    projector_params: dict, features: jax.Array, scaling: float = 1.0
+) -> jax.Array:
     """Multimodal projector: [B, N, D] -> [B, N, projection_dim]."""
-    return linear(features, projector_params["kernel"], projector_params["bias"])
+    out = linear(features, projector_params["kernel"], projector_params["bias"])
+    lora = projector_params.get("kernel_lora")
+    if lora is not None:
+        from open_pi_zero_tpu.ops import lora as lora_lib
+
+        out = (
+            out.astype(jnp.float32) + lora_lib.lora_delta(features, lora, scaling)
+        ).astype(features.dtype)
+    return out

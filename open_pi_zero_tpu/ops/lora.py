@@ -145,6 +145,19 @@ def merge_lora(params, scaling: float = 1.0):
             lora = d.get(f"{k}_lora")
             if lora is not None:
                 base = v
+                if isinstance(base, dict) and "kernel" in base:
+                    # biased linear (SigLIP layout {kernel, bias}): fold
+                    # the adapter into the kernel, keep the bias
+                    delta = scaling * jnp.einsum(
+                        "...ir,...ro->...io",
+                        lora["a"].astype(jnp.float32),
+                        lora["b"].astype(jnp.float32),
+                    )
+                    merged = (
+                        base["kernel"].astype(jnp.float32) + delta
+                    ).astype(lora["a"].dtype)
+                    out[k] = {**base, "kernel": merged}
+                    continue
                 if isinstance(base, dict) and "q4k" in base:
                     from open_pi_zero_tpu.ops.pallas_int4 import (
                         dequantize_kernel_int4k,

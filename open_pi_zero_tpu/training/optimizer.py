@@ -85,9 +85,13 @@ def freeze_surgery() -> optax.GradientTransformation:
     return optax.GradientTransformation(init, update)
 
 
-def param_labels(params: dict, train_vlm: bool = True) -> dict:
+def param_labels(params: dict, train_vlm: bool = True, lora: bool = False) -> dict:
     """Label pytree for optax.multi_transform. Top-level routing mirrors the
-    reference's param-group properties (pizero.py:114-158)."""
+    reference's param-group properties (pizero.py:114-158). With lora=True,
+    the VLM-side subtrees (vision tower, projector, vlm mixture) train ONLY
+    their `<name>_lora` adapters — the reference's
+    freeze_non_lora_weights_in_vlm (src/agent/train.py:101-102,
+    pizero.py:236-248); the action expert still trains fully."""
     vlm_label = "vlm" if train_vlm else "frozen"
     top = {
         "embed_tokens": "frozen",
@@ -101,15 +105,37 @@ def param_labels(params: dict, train_vlm: bool = True) -> dict:
     def label_tree(subtree, label):
         return jax.tree.map(lambda _: label, subtree)
 
+    def label_lora_only(subtree, trained_label):
+        def walk(d, in_lora):
+            if isinstance(d, dict):
+                return {
+                    k: walk(v, in_lora or k.endswith("_lora"))
+                    for k, v in d.items()
+                }
+            return trained_label if in_lora else "frozen"
+
+        return walk(subtree, False)
+
+    def vlm_side(subtree):
+        return (
+            label_lora_only(subtree, vlm_label)
+            if lora
+            else label_tree(subtree, vlm_label)
+        )
+
     out = {}
     for k, sub in params.items():
         if k == "joint":
             out[k] = {
                 "mixtures": {
-                    name: label_tree(t, vlm_label if name == "vlm" else "action")
+                    name: (
+                        vlm_side(t) if name == "vlm" else label_tree(t, "action")
+                    )
                     for name, t in sub["mixtures"].items()
                 }
             }
+        elif k in ("siglip", "projector"):
+            out[k] = vlm_side(sub)
         else:
             out[k] = label_tree(sub, top[k])
     return out
@@ -134,7 +160,7 @@ def build_optimizer(
             )
     else:
         vlm_tx = optax.set_to_zero()
-    labels = param_labels(params, cfg.train_vlm)
+    labels = param_labels(params, cfg.train_vlm, lora=cfg.lora)
     return optax.chain(
         freeze_surgery(),
         optax.clip_by_global_norm(cfg.max_grad_norm),

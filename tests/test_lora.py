@@ -434,3 +434,175 @@ def test_int4k_merge_lora_dequantizes():
     np.testing.assert_allclose(
         np.asarray(merged["q"]), np.asarray(i4.dequantize_kernel_int4k(d := i4.quantize_kernel_int4k(w))), rtol=1e-5
     )
+
+
+# --------------------------------------------------------------------------- #
+# SigLIP / projector LoRA (reference vision.use_lora, siglip.py:98-106,9-31;
+# freeze_non_lora_weights_in_vlm, reference pizero.py:236-248)
+# --------------------------------------------------------------------------- #
+
+
+def _siglip_lora_cfg():
+    cfg = tiny_pizero_config()
+    return dataclass_replace(
+        cfg, siglip=dataclass_replace(cfg.siglip, use_lora=True, lora=LoraConfig(r=2))
+    )
+
+
+def test_siglip_lora_init_identity_and_merge():
+    from open_pi_zero_tpu.models import siglip as siglip_lib
+
+    cfg = _siglip_lora_cfg()
+    key = jax.random.key(0)
+    params = siglip_lib.init_params(key, cfg.siglip)
+    assert "q_lora" in params["layers"]["attn"]
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 28, 28, 3)), jnp.float32)
+
+    # zero-init B => adapters are inert at init
+    plain = {
+        "embeddings": params["embeddings"],
+        "layers": {
+            g: {k: v for k, v in d.items() if not k.endswith("_lora")}
+            for g, d in params["layers"].items()
+        },
+        "post_layernorm": params["post_layernorm"],
+    }
+    out_lora = siglip_lib.forward(params, cfg.siglip, x)
+    out_plain = siglip_lib.forward(plain, cfg.siglip, x)
+    np.testing.assert_allclose(
+        np.asarray(out_lora), np.asarray(out_plain), rtol=1e-5, atol=1e-6
+    )
+
+    # "trained" adapters change the output; merging reproduces it exactly
+    bumped = jax.tree.map(lambda v: v, params)
+    for g in ("attn", "mlp"):
+        for k in list(bumped["layers"][g]):
+            if k.endswith("_lora"):
+                lb = bumped["layers"][g][k]
+                bumped["layers"][g][k] = {
+                    "a": lb["a"],
+                    "b": jax.random.normal(jax.random.key(5), lb["b"].shape) * 0.05,
+                }
+    out_trained = siglip_lib.forward(bumped, cfg.siglip, x)
+    assert float(jnp.mean(jnp.abs(out_trained - out_plain))) > 1e-5
+    merged = lora_lib.merge_lora(bumped)
+    assert not lora_lib.has_lora(merged)
+    # merged kernels keep the {kernel, bias} layout
+    assert "kernel" in merged["layers"]["attn"]["q"]
+    out_merged = siglip_lib.forward(merged, cfg.siglip, x)
+    np.testing.assert_allclose(
+        np.asarray(out_merged), np.asarray(out_trained), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_projector_lora_and_full_model():
+    from open_pi_zero_tpu.models import siglip as siglip_lib
+
+    cfg = _siglip_lora_cfg()
+    proj = siglip_lib.init_projector_params(jax.random.key(1), cfg.siglip)
+    assert "kernel_lora" in proj
+    feats = jnp.asarray(np.random.default_rng(1).normal(size=(1, 4, cfg.siglip.hidden_size)), jnp.float32)
+    out0 = siglip_lib.project(proj, feats)
+    plain = {k: v for k, v in proj.items() if k != "kernel_lora"}
+    np.testing.assert_allclose(
+        np.asarray(out0), np.asarray(siglip_lib.project(plain, feats)), rtol=1e-5
+    )
+
+    # whole model runs with vision adapters present
+    params = pizero.init_params(jax.random.key(0), cfg)
+    assert lora_lib.has_lora(params["siglip"]) and lora_lib.has_lora(params["projector"])
+    ids = jnp.zeros((1, cfg.max_image_text_tokens), jnp.int32)
+    ids = ids.at[:, : cfg.siglip.num_image_tokens].set(cfg.image_token_index)
+    am = (ids != 0).astype(jnp.int32)
+    img = jnp.zeros((1, 28, 28, 3))
+    prop = jnp.ones((1, 1, cfg.proprio_dim)) * 0.1
+    out = pizero.infer_action(params, cfg, jax.random.key(1), ids, img, am, prop)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_lora_only_vlm_labels_freeze_bases():
+    """TrainingConfig.lora=True: VLM-side bases frozen, adapters + action
+    expert trained (reference freeze_non_lora_weights_in_vlm)."""
+    from open_pi_zero_tpu.config import TrainingConfig
+    from open_pi_zero_tpu.training import optimizer as opt_lib
+
+    cfg = _siglip_lora_cfg()
+    mixtures = tuple(
+        dataclass_replace(m, use_lora=(name == "vlm"), lora=LoraConfig(r=2))
+        for name, m in zip(cfg.joint.mixture_names, cfg.joint.mixtures)
+    )
+    cfg = dataclass_replace(cfg, joint=dataclass_replace(cfg.joint, mixtures=mixtures))
+    params = pizero.init_params(jax.random.key(0), cfg)
+    labels = opt_lib.param_labels(params, train_vlm=True, lora=True)
+    assert labels["siglip"]["layers"]["attn"]["q"]["kernel"] == "frozen"
+    assert labels["siglip"]["layers"]["attn"]["q_lora"]["a"] == "vlm"
+    assert labels["projector"]["kernel"] == "frozen"
+    assert labels["projector"]["kernel_lora"]["a"] == "vlm"
+    vlm = labels["joint"]["mixtures"]["vlm"]["layers"]
+    assert vlm["attn"]["q"] == "frozen" and vlm["attn"]["q_lora"]["a"] == "vlm"
+    act = labels["joint"]["mixtures"]["action"]["layers"]
+    assert act["attn"]["q"] == "action"
+
+    # end-to-end: the optimizer zeroes frozen updates
+    import optax
+
+    tcfg = TrainingConfig(lora=True)
+    tx = opt_lib.build_optimizer(tcfg, params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, tx.init(params), params)
+    assert float(jnp.sum(jnp.abs(updates["siglip"]["layers"]["attn"]["q"]["kernel"]))) == 0.0
+    assert float(jnp.sum(jnp.abs(updates["siglip"]["layers"]["attn"]["q_lora"]["b"]))) > 0.0
+    assert float(jnp.sum(jnp.abs(updates["joint"]["mixtures"]["vlm"]["layers"]["attn"]["q"]))) == 0.0
+    assert float(jnp.sum(jnp.abs(updates["joint"]["mixtures"]["action"]["layers"]["attn"]["q"]))) > 0.0
+
+
+def test_convert_siglip_maps_lora_adapters():
+    """convert_siglip picks up reference lora_A/lora_B tensors beside each
+    frozen .weight (reference LoRALinear, src/model/lora.py:167-168) and a
+    SigLIP forward through the converted tree matches merge-then-forward."""
+    from open_pi_zero_tpu.models import convert, siglip as siglip_lib
+
+    cfg = _siglip_lora_cfg()
+    sc = cfg.siglip
+    L, D, I, P, r = (sc.num_hidden_layers, sc.hidden_size,
+                     sc.intermediate_size, sc.patch_size, 2)
+    rng = np.random.default_rng(0)
+    t = {}
+    p = "vision_tower.vision_model."
+    t[p + "embeddings.patch_embedding.weight"] = rng.normal(size=(D, 3, P, P)).astype(np.float32)
+    t[p + "embeddings.patch_embedding.bias"] = rng.normal(size=(D,)).astype(np.float32)
+    t[p + "embeddings.position_embedding.weight"] = rng.normal(size=(sc.num_patches, D)).astype(np.float32)
+    t[p + "post_layernorm.weight"] = rng.normal(size=(D,)).astype(np.float32)
+    t[p + "post_layernorm.bias"] = rng.normal(size=(D,)).astype(np.float32)
+    names = {
+        "self_attn.q_proj": (D, D), "self_attn.k_proj": (D, D),
+        "self_attn.v_proj": (D, D), "self_attn.out_proj": (D, D),
+        "mlp.fc1": (I, D), "mlp.fc2": (D, I),
+    }
+    for layer in range(L):
+        q = f"{p}encoder.layers.{layer}."
+        for ln in ("layer_norm1", "layer_norm2"):
+            t[q + ln + ".weight"] = rng.normal(size=(D,)).astype(np.float32)
+            t[q + ln + ".bias"] = rng.normal(size=(D,)).astype(np.float32)
+        for n, (dout, din) in names.items():
+            t[q + n + ".weight"] = rng.normal(size=(dout, din)).astype(np.float32)
+            t[q + n + ".bias"] = rng.normal(size=(dout,)).astype(np.float32)
+            t[q + n + ".lora_A"] = (rng.normal(size=(r, din)) * 0.1).astype(np.float32)
+            t[q + n + ".lora_B"] = (rng.normal(size=(dout, r)) * 0.1).astype(np.float32)
+
+    tree = convert.convert_siglip(t, cfg)
+    attn = tree["layers"]["attn"]
+    assert "q_lora" in attn and attn["q_lora"]["a"].shape == (L, D, r)
+    assert attn["q_lora"]["b"].shape == (L, r, D)
+    np.testing.assert_allclose(
+        attn["q_lora"]["a"][0],
+        t[p + "encoder.layers.0.self_attn.q_proj.lora_A"].T,
+    )
+
+    x = jnp.asarray(rng.normal(size=(1, 28, 28, 3)), jnp.float32)
+    tree = jax.tree.map(jnp.asarray, tree)
+    out_adapters = siglip_lib.forward(tree, sc, x)
+    out_merged = siglip_lib.forward(lora_lib.merge_lora(tree), sc, x)
+    np.testing.assert_allclose(
+        np.asarray(out_adapters), np.asarray(out_merged), rtol=1e-4, atol=1e-4
+    )
