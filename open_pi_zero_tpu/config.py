@@ -220,10 +220,11 @@ class SiglipConfig:
     layer_norm_eps: float = 1e-6
     num_image_tokens: int = 256
     projection_dim: int = 2048  # multimodal projector output
-    # the reference's vision tower is LoRA-configurable like the trunk
-    # mixtures (config/train/bridge.yaml `vision.use_lora: ${lora}`,
-    # siglip.py:98-106 get_layer factory)
+    # the reference's vision tower is LoRA/quantize-configurable like the
+    # trunk mixtures (config/train/bridge.yaml `vision.use_lora: ${lora}`,
+    # `vision.use_quantize: ${quantize}`, siglip.py:98-106 get_layer)
     use_lora: bool = False
+    use_quantize: bool = False
     lora: LoraConfig = field(default_factory=LoraConfig)
 
     @property
@@ -388,6 +389,7 @@ def pizero_config_from_dict(cfg: ConfigDict) -> PiZeroConfig:
         num_image_tokens=vis.get("num_image_tokens", 256),
         projection_dim=proj_dim,
         use_lora=bool(cfg.get("vision", ConfigDict()).get("use_lora", False)),
+        use_quantize=bool(cfg.get("vision", ConfigDict()).get("use_quantize", False)),
         lora=LoraConfig(
             r=int(vis.get("lora", ConfigDict()).get("r", cfg.get("lora_r", 32))),
             alpha=cfg.get("lora_alpha"),

@@ -15,11 +15,29 @@ import jax.numpy as jnp
 
 
 def linear(x: jax.Array, kernel, bias: Optional[jax.Array] = None) -> jax.Array:
-    """Dense layer. `kernel` is a plain [in, out] array, or a W8A8 dict
-    {qa: int8 [in, out], scale: f32 [out]} (ops/quantization.py) — then the
-    activations are dynamically quantized per token and the dot runs
-    native int8 x int8 on the MXU with a rank-1 fp32 dequant epilogue."""
-    if isinstance(kernel, dict):
+    """Dense layer. `kernel` is a plain [in, out] array or a quantized
+    dict (ops/quantization.py): {qa, scale} W8A8 — activations are
+    dynamically quantized per token and the dot runs native int8 x int8
+    on the MXU with a rank-1 fp32 dequant epilogue; {q4, absmax}
+    blockwise NF4 (QLoRA frozen base) — dequantized to the activation
+    dtype first; {q, scale} weight-only int8."""
+    if isinstance(kernel, dict) and "q4" in kernel:
+        from open_pi_zero_tpu.ops.quantization import dequantize_kernel_nf4
+
+        out = jnp.einsum(
+            "...i,io->...o",
+            x,
+            dequantize_kernel_nf4(kernel, x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+    elif isinstance(kernel, dict) and "q" in kernel:
+        out = jnp.einsum(
+            "...i,io->...o",
+            x,
+            kernel["q"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ) * kernel["scale"].astype(jnp.float32)
+    elif isinstance(kernel, dict):
         from open_pi_zero_tpu.ops.quantization import quantize_act_per_token
 
         xq, sx = quantize_act_per_token(x)

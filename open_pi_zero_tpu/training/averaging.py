@@ -51,7 +51,15 @@ def maybe_update(
         return (avg * n + p) / (n + 1.0)
 
     new_avg = jax.tree.map(
-        lambda avg, p: jnp.where(due, blend(avg, p), avg), state.avg_params, params
+        # integer leaves (QLoRA frozen NF4/int8 payloads) are not averaged
+        # — blending would promote them to f32 and change the pytree
+        lambda avg, p: (
+            p
+            if not jnp.issubdtype(avg.dtype, jnp.inexact)
+            else jnp.where(due, blend(avg, p), avg)
+        ),
+        state.avg_params,
+        params,
     )
     return AveragingState(new_avg, state.n_averaged + due.astype(jnp.int32))
 

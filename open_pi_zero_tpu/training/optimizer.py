@@ -50,11 +50,19 @@ def _tree_update(tree: dict, path, fn) -> dict:
     return new
 
 
+def _zero_last_layer(g):
+    """g.at[-1] = 0 on every leaf — the grad at a kernel path may be a
+    dict (quantized QLoRA base: {q4, absmax} / {q, scale} zero-grads)."""
+    if isinstance(g, dict):
+        return {k: _zero_last_layer(v) for k, v in g.items()}
+    return g.at[-1].set(0.0)
+
+
 def zero_unused_vlm_last_layer(grads: dict) -> dict:
     """Zero gradient slices of the untrained last-layer vlm params."""
     for path in _UNUSED_LAST_LAYER_PATHS:
         full = ("joint", "mixtures", "vlm", "layers") + path
-        grads = _tree_update(grads, full, lambda g: g.at[-1].set(0.0))
+        grads = _tree_update(grads, full, _zero_last_layer)
     return grads
 
 

@@ -70,7 +70,23 @@ def make_train_step(
     train.py:355-368)."""
 
     def grads_of(params, rng, batch):
-        return jax.value_and_grad(batch_loss)(params, cfg, rng, batch)
+        # allow_int: QLoRA trees carry integer payload leaves (NF4/int8
+        # frozen bases, reference bnb Linear4bit) — they get float0
+        # tangents, which we replace with f32 zeros so accumulation,
+        # norms, and the frozen optimizer group all see ordinary arrays
+        loss, g = jax.value_and_grad(batch_loss, allow_int=True)(
+            params, cfg, rng, batch
+        )
+        g = jax.tree.map(
+            lambda p, gg: (
+                gg
+                if jnp.issubdtype(p.dtype, jnp.inexact)
+                else jnp.zeros(p.shape, jnp.float32)
+            ),
+            params,
+            g,
+        )
+        return loss, g
 
     def step(state: TrainState, batch: dict) -> Tuple[TrainState, dict]:
         rng, sub = jax.random.split(state.rng)

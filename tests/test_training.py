@@ -380,3 +380,62 @@ def test_remat_preserves_loss_and_grads():
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+class TestQLoRATraining:
+    """QLoRA: NF4 frozen base + trainable adapters through the real train
+    step (reference quantize+lora tiers, src/model/lora.py:83-100; TrainAgent
+    wires this from the configs' `quantize`/`lora` flags)."""
+
+    def test_step_trains_adapters_only_with_quantized_base(self):
+        from open_pi_zero_tpu.config import LoraConfig, dataclass_replace
+        from open_pi_zero_tpu.ops import lora as lora_lib
+        from open_pi_zero_tpu.training.train_step import (
+            init_train_state,
+            make_jitted_train_step,
+        )
+
+        cfg = tiny_pizero_config()
+        mixtures = tuple(
+            dataclass_replace(m, use_lora=(name == "vlm"), lora=LoraConfig(r=2))
+            for name, m in zip(cfg.joint.mixture_names, cfg.joint.mixtures)
+        )
+        cfg = dataclass_replace(
+            cfg, joint=dataclass_replace(cfg.joint, mixtures=mixtures)
+        )
+        params = pizero.init_params(jax.random.key(0), cfg)
+        joint = dict(params["joint"])
+        joint["mixtures"] = {
+            **joint["mixtures"],
+            "vlm": lora_lib.quantize_base_weights(joint["mixtures"]["vlm"], bits=4),
+        }
+        params = {**params, "joint": joint}
+        vlm_attn = params["joint"]["mixtures"]["vlm"]["layers"]["attn"]
+        assert "q4" in vlm_attn["q"] and "q_lora" in vlm_attn
+
+        tcfg = TrainingConfig(
+            lora=True,
+            use_ema=True,
+            ema_start=0,
+            action_lr_scheduler=LRSchedulerConfig(first_cycle_steps=100, warmup_steps=0),
+            vlm_lr_scheduler=LRSchedulerConfig(first_cycle_steps=100, warmup_steps=0),
+        )
+        tx = opt_lib.build_optimizer(tcfg, params)
+        state = init_train_state(params, tx, jax.random.key(1), tcfg)
+        step = make_jitted_train_step(cfg, tcfg, tx)
+        batch = _tiny_batch(cfg)
+
+        q4_before = np.asarray(vlm_attn["q"]["q4"]).copy()
+        lora_b_before = np.asarray(vlm_attn["q_lora"]["b"]).copy()
+        for _ in range(2):
+            state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+        attn_after = state.params["joint"]["mixtures"]["vlm"]["layers"]["attn"]
+        # frozen NF4 payload is bit-identical; adapters moved
+        np.testing.assert_array_equal(np.asarray(attn_after["q"]["q4"]), q4_before)
+        assert float(np.abs(np.asarray(attn_after["q_lora"]["b"]) - lora_b_before).sum()) > 0
+        # action expert still trains fully
+        assert float(metrics["grad_norm"]) > 0
+        # EMA tree kept the integer payloads intact
+        assert state.avg.avg_params["joint"]["mixtures"]["vlm"]["layers"]["attn"]["q"]["q4"].dtype == jnp.uint8
