@@ -246,3 +246,70 @@ def test_vla_state_dict_roundtrip_prefix_stripping():
     }
     out = convert.normalize_vla_state_dict(state)
     assert set(out) == {"embed_tokens.weight", "action_decoder.weight"}
+
+
+class TorchSiglipLora(TorchSiglip):
+    """TorchSiglip + reference LoRALinear math on every encoder linear:
+    result = Wx + b + scaling * (x @ A^T @ B^T)
+    (reference src/model/lora.py:201-210, scaling=1.0, dropout off)."""
+
+    def __init__(self, cfg, r=2):
+        super().__init__(cfg)
+        self.r = r
+        for blk in self.layers:
+            for name in ("q", "k", "v", "o", "fc1", "fc2"):
+                lin = getattr(blk, name)
+                lin.lora_A = nn.Parameter(torch.randn(r, lin.in_features) * 0.1)
+                lin.lora_B = nn.Parameter(torch.randn(lin.out_features, r) * 0.1)
+
+    def forward(self, pixels_nchw):
+        cfg = self.cfg
+
+        def lora(lin, x):
+            return lin(x) + (x @ lin.lora_A.T @ lin.lora_B.T)
+
+        x = self.patch(pixels_nchw)
+        x = x.flatten(2).transpose(1, 2)
+        x = x + self.pos.weight[None]
+        H, Dh = cfg.num_attention_heads, cfg.head_dim
+        for blk in self.layers:
+            h = blk.ln1(x)
+            b, n, d = h.shape
+            q = lora(blk.q, h).view(b, n, H, Dh).transpose(1, 2)
+            k = lora(blk.k, h).view(b, n, H, Dh).transpose(1, 2)
+            v = lora(blk.v, h).view(b, n, H, Dh).transpose(1, 2)
+            s = q @ k.transpose(-1, -2) / math.sqrt(Dh)
+            p = F.softmax(s, dim=-1)
+            a = (p @ v).transpose(1, 2).reshape(b, n, d)
+            x = x + lora(blk.o, a)
+            h = blk.ln2(x)
+            x = x + lora(blk.fc2, F.gelu(lora(blk.fc1, h), approximate="tanh"))
+        return self.post_ln(x)
+
+
+def test_siglip_lora_parity_with_torch():
+    """SigLIP with live (unmerged) adapters: the converted tree must
+    reproduce the reference LoRA forward, both unmerged and after
+    merge_lora (reference vision.use_lora tier)."""
+    from open_pi_zero_tpu.config import LoraConfig, dataclass_replace
+    from open_pi_zero_tpu.ops import lora as lora_lib
+
+    torch.manual_seed(0)
+    cfg = tiny_pizero_config()
+    scfg = dataclass_replace(cfg.siglip, use_lora=True, lora=LoraConfig(r=2))
+    tmodel = TorchSiglipLora(cfg.siglip).eval()
+    pixels = torch.randn(2, 3, cfg.siglip.image_size, cfg.siglip.image_size)
+    with torch.no_grad():
+        expected = tmodel(pixels).numpy()
+
+    jax_params = jax.tree.map(
+        jnp.asarray, convert.convert_siglip(tmodel.hf_state_dict(), cfg)
+    )
+    assert "q_lora" in jax_params["layers"]["attn"]
+    x_nhwc = jnp.asarray(pixels.permute(0, 2, 3, 1).numpy())
+    got = np.asarray(siglip_lib.forward(jax_params, scfg, x_nhwc))
+    np.testing.assert_allclose(got, expected, rtol=3e-4, atol=3e-4)
+
+    merged = lora_lib.merge_lora(jax_params, scaling=scfg.lora_scaling)
+    got_m = np.asarray(siglip_lib.forward(merged, scfg, x_nhwc))
+    np.testing.assert_allclose(got_m, expected, rtol=3e-4, atol=3e-4)
