@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Action-chunk serving daemon: loads a checkpoint in the production
+serving layout (W8A8 prefill + int8 action expert), warms every batch
+bucket, and serves batched `infer_action` over TCP (newline-delimited
+JSON — protocol in open_pi_zero_tpu/serving.py).
+
+  python scripts/serve.py --config configs/eval/bridge.yaml \
+      checkpoint_path=/path/to/ckpt [--host 0.0.0.0] [--port 7011] \
+      [--batch-sizes 1,4,8,16] [--window-ms 3]
+
+One v5e chip sustains ~158 chunks/s at batch 16 (BENCH_THROUGHPUT.json),
+i.e. 100+ robot control loops at bridge's 5 Hz effective rate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+logging.basicConfig(level=logging.INFO)
+log = logging.getLogger("serve")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=7011)
+    parser.add_argument(
+        "--batch-sizes",
+        type=lambda s: [int(x) for x in s.split(",")],
+        default=[1, 4, 8, 16],
+        help="comma-separated bucket sizes, one compile each (e.g. 1,4,8,16)",
+    )
+    parser.add_argument("--window-ms", type=float, default=3.0)
+    parser.add_argument("overrides", nargs="*", help="key=value config overrides")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from open_pi_zero_tpu.config import load_config, pizero_config_from_dict
+    from open_pi_zero_tpu.models import pizero
+    from open_pi_zero_tpu.serving import BatchingPolicy, serve_forever
+
+    cfg = load_config(args.config, overrides=args.overrides)
+    model_cfg = pizero_config_from_dict(cfg)
+
+    # reuse EvalAgent's checkpoint -> merged -> fused/quantized pipeline
+    from open_pi_zero_tpu.agents.eval import EvalAgent
+
+    agent = EvalAgent.__new__(EvalAgent)
+    agent.cfg = cfg
+    agent.model_cfg = model_cfg
+    agent.dtype = jnp.bfloat16 if bool(cfg.get("use_bf16", True)) else jnp.float32
+    params = agent._load_params()
+
+    rng_holder = {"rng": jax.random.key(int(cfg.get("seed", 42)))}
+    jit_infer = jax.jit(
+        lambda p, r, i, pv, a, pr: pizero.infer_action(p, model_cfg, r, i, pv, a, pr)
+    )
+
+    def infer_fn(batch: dict) -> np.ndarray:
+        rng_holder["rng"], sub = jax.random.split(rng_holder["rng"])
+        return np.asarray(
+            jit_infer(
+                params,
+                sub,
+                jnp.asarray(batch["input_ids"]),
+                jnp.asarray(batch["pixel_values"], agent.dtype),
+                jnp.asarray(batch["attention_mask"]),
+                jnp.asarray(batch["proprios"], agent.dtype),
+            ),
+            np.float32,
+        )
+
+    policy = BatchingPolicy(
+        infer_fn, batch_sizes=args.batch_sizes, batch_window_ms=args.window_ms
+    )
+
+    import __graft_entry__ as graft
+
+    ids, img, am, prop = graft._example_batch(model_cfg)
+    policy.warmup(
+        {
+            "input_ids": ids[0],
+            "pixel_values": np.asarray(img[0], np.float32),
+            "attention_mask": am[0],
+            "proprios": np.asarray(prop[0], np.float32),
+        }
+    )
+    log.info("all batch buckets compiled; accepting traffic")
+    serve_forever(args.host, args.port, policy)
+
+
+if __name__ == "__main__":
+    main()

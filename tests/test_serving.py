@@ -1,0 +1,121 @@
+"""Serving daemon: batching policy semantics + a TCP round-trip with the
+tiny model (the production surface scripts/serve.py exposes)."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from open_pi_zero_tpu.serving import (
+    ActionServer,
+    BatchingPolicy,
+    request_action,
+)
+
+
+def test_policy_buckets_pads_and_batches():
+    seen = []
+
+    def infer(batch):
+        b = batch["x"].shape[0]
+        seen.append(b)
+        return np.tile(batch["x"][:, None, :], (1, 2, 1))  # [B, 2, d]
+
+    policy = BatchingPolicy(infer, batch_sizes=(1, 4), batch_window_ms=30).start()
+    try:
+        xs = [np.full((3,), i, np.float32) for i in range(3)]
+        results = [None] * 3
+
+        def call(i):
+            results[i] = policy.submit({"x": xs[i]})
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(10)
+        for i in range(3):
+            np.testing.assert_array_equal(results[i], np.tile(xs[i], (2, 1)))
+        # 3 concurrent requests -> one padded bucket of 4 (or a 1 + a
+        # bucket, depending on arrival timing) — never 3 singletons
+        assert policy.n_requests == 3
+        assert policy.n_batches < 3
+        assert all(b in (1, 4) for b in seen)
+    finally:
+        policy.stop()
+
+
+def test_policy_propagates_errors():
+    def infer(batch):
+        raise ValueError("boom")
+
+    policy = BatchingPolicy(infer, batch_sizes=(1,), batch_window_ms=1).start()
+    try:
+        with pytest.raises(RuntimeError, match="boom"):
+            policy.submit({"x": np.zeros(2, np.float32)})
+    finally:
+        policy.stop()
+
+
+@pytest.mark.slow
+def test_tcp_server_end_to_end_tiny_model():
+    import jax
+    import jax.numpy as jnp
+
+    from open_pi_zero_tpu.config import tiny_pizero_config
+    from open_pi_zero_tpu.models import fuse, pizero
+
+    cfg = tiny_pizero_config(num_inference_steps=2)
+    params = fuse.prepare_for_serving(pizero.init_params(jax.random.key(0), cfg))
+    rng = {"k": jax.random.key(1)}
+    jit_infer = jax.jit(
+        lambda p, r, i, pv, a, pr: pizero.infer_action(p, cfg, r, i, pv, a, pr)
+    )
+
+    def infer_fn(batch):
+        rng["k"], sub = jax.random.split(rng["k"])
+        return np.asarray(
+            jit_infer(
+                params,
+                sub,
+                jnp.asarray(batch["input_ids"]),
+                jnp.asarray(batch["pixel_values"], jnp.float32),
+                jnp.asarray(batch["attention_mask"]),
+                jnp.asarray(batch["proprios"], jnp.float32),
+            )
+        )
+
+    policy = BatchingPolicy(infer_fn, batch_sizes=(1, 4), batch_window_ms=20).start()
+    srv = ActionServer(("127.0.0.1", 0), policy)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        ids = np.zeros((cfg.max_image_text_tokens,), np.int32)
+        ids[: cfg.siglip.num_image_tokens] = cfg.image_token_index
+        obs = {
+            "input_ids": ids,
+            "pixel_values": np.zeros((28, 28, 3), np.float32),
+            "attention_mask": (ids != 0).astype(np.int32),
+            "proprios": np.full((1, cfg.proprio_dim), 0.1, np.float32),
+        }
+        results = [None] * 4
+
+        def call(i):
+            results[i] = request_action("127.0.0.1", port, obs)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+        start = time.time()
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(60)
+        assert time.time() - start < 60
+        for r in results:
+            assert r is not None and r.shape == (cfg.horizon_steps, cfg.action_dim)
+            assert np.isfinite(r).all()
+        assert policy.n_requests == 4 and policy.n_batches >= 1
+    finally:
+        srv.shutdown()
+        policy.stop()
