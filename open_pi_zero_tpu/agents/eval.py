@@ -71,6 +71,8 @@ class EvalAgent:
         path = self.cfg.get("checkpoint_path")
         assert path, "checkpoint_path required for eval"
         path = os.path.expanduser(str(path))
+        from open_pi_zero_tpu.ops import lora as lora_lib
+
         if path.endswith(".pt"):
             params = convert.load_vla_checkpoint(path, self.model_cfg, self.dtype)
         else:
@@ -79,9 +81,11 @@ class EvalAgent:
             abstract = pizero.init_params(
                 jax.random.key(0), self.model_cfg, dtype=self.dtype
             )
+            # QLoRA checkpoints store NF4 base payloads — the abstract
+            # tree must carry the same structure or restore fails
+            abstract = lora_lib.quantize_per_model_config(abstract, self.model_cfg)
             params = ckpt_lib.restore_params(path, abstract)
         params = convert.to_dtype(params, self.dtype)
-        from open_pi_zero_tpu.ops import lora as lora_lib
 
         if lora_lib.has_lora(params):
             # LoRA fine-tuned checkpoint: fold adapters into the base kernels
@@ -99,10 +103,17 @@ class EvalAgent:
                 for name, m in joint["mixtures"].items()
             }
             params["joint"] = joint
-            if lora_lib.has_lora(params.get("siglip", {})):
-                params["siglip"] = lora_lib.merge_lora(
-                    params["siglip"], self.model_cfg.siglip.lora_scaling
-                )
+            for key in ("siglip", "projector"):
+                if lora_lib.has_lora(params.get(key, {})):
+                    params[key] = lora_lib.merge_lora(
+                        params[key], self.model_cfg.siglip.lora_scaling
+                    )
+        if lora_lib.has_quantized_bases(params):
+            # quantize-without-LoRA checkpoint (reference allows it with a
+            # "fully frozen VLM" warning, train.py:90-93): decode the NF4
+            # bases so fusion applies; the serving knobs below re-quantize
+            # into the serving tiers
+            params = lora_lib.dequantize_base_weights(params, self.dtype)
         from open_pi_zero_tpu.models import fuse
 
         # serving layout: fused qkv/gate+up everywhere; by default int8

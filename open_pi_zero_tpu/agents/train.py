@@ -226,29 +226,10 @@ class TrainAgent:
         # optimizer labels them frozen.
         from open_pi_zero_tpu.ops import lora as lora_lib
 
-        qmix = [
-            n
-            for n in self.model_cfg.joint.mixture_names
-            if self.model_cfg.joint.mixture(n).use_quantize
-        ]
-        qmix = [n for n in qmix if n in params["joint"]["mixtures"]]
-        if qmix:
-            params = dict(params)
-            joint = dict(params["joint"])
-            mixtures = dict(joint["mixtures"])
-            for n in qmix:
-                mixtures[n] = lora_lib.quantize_base_weights(mixtures[n], bits=4)
-            joint["mixtures"] = mixtures
-            params["joint"] = joint
-            log.info("quantized frozen base weights (NF4) for mixtures: %s", qmix)
-        if self.model_cfg.siglip.use_quantize:
-            params = dict(params)
-            sig = dict(params["siglip"])
-            sig["layers"] = lora_lib.quantize_base_weights(
-                sig["layers"], keys=("kernel",), bits=4
-            )
-            params["siglip"] = sig
-            log.info("quantized frozen SigLIP encoder weights (NF4)")
+        qparams = lora_lib.quantize_per_model_config(params, self.model_cfg)
+        if qparams is not params:
+            log.info("quantized frozen base weights (NF4) per config")
+        params = qparams
         counts = opt_lib.trainable_param_count(params, self.train_cfg.train_vlm)
         log.info("params: %s", {k: f"{v:.3f}B" for k, v in counts.items()})
         return params

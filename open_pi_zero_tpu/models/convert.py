@@ -317,9 +317,20 @@ def load_vla_checkpoint(path: str, cfg: PiZeroConfig, dtype=jnp.float32) -> dict
 
 
 def to_dtype(params: dict, dtype) -> dict:
-    import jax
+    """Cast float leaves. Quantized base dicts (QLoRA checkpoints: NF4 /
+    int8 payloads with their fp32 scales) pass through untouched — their
+    dtypes are part of the format."""
 
-    return jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+    def walk(t):
+        if isinstance(t, dict):
+            if {"q4", "q4k", "qa"} & set(t) or (
+                "scale" in t and "q" in t and not isinstance(t["q"], dict)
+            ):
+                return t
+            return {k: walk(v) for k, v in t.items()}
+        return jnp.asarray(t, dtype)
+
+    return walk(params)
 
 
 def merge_pretrained(init_params: dict, pretrained: dict, dtype=None) -> dict:

@@ -147,15 +147,19 @@ def merge_lora(params, scaling: float = 1.0):
                 base = v
                 if isinstance(base, dict) and "kernel" in base:
                     # biased linear (SigLIP layout {kernel, bias}): fold
-                    # the adapter into the kernel, keep the bias
+                    # the adapter into the kernel, keep the bias; a
+                    # quantized kernel (SigLIP QLoRA) dequantizes first
+                    kern = base["kernel"]
+                    if isinstance(kern, dict):
+                        kern = dequantize_base_weights(kern)
                     delta = scaling * jnp.einsum(
                         "...ir,...ro->...io",
                         lora["a"].astype(jnp.float32),
                         lora["b"].astype(jnp.float32),
                     )
-                    merged = (
-                        base["kernel"].astype(jnp.float32) + delta
-                    ).astype(lora["a"].dtype)
+                    merged = (kern.astype(jnp.float32) + delta).astype(
+                        lora["a"].dtype
+                    )
                     out[k] = {**base, "kernel": merged}
                     continue
                 if isinstance(base, dict) and "q4k" in base:
@@ -244,6 +248,72 @@ def quantize_base_weights(
         return out
 
     return walk(tree)
+
+
+def has_quantized_bases(tree) -> bool:
+    """True if any quantized base dict remains in the tree."""
+    if isinstance(tree, dict):
+        if {"q4", "q4k", "qa"} & set(tree):
+            return True
+        if "scale" in tree and "q" in tree and not isinstance(tree["q"], dict):
+            return True
+        return any(has_quantized_bases(v) for v in tree.values())
+    return False
+
+
+def dequantize_base_weights(tree, dtype=jnp.float32):
+    """Replace every quantized base dict ({q4, absmax} NF4, {q4k, kscale}
+    int4, {q|qa, scale} int8) with its float kernel in `dtype` — the
+    inverse walk of quantize_base_weights, used when a quantized-base
+    checkpoint must be served through transforms that require float
+    kernels (fusion). Pass bf16 at 3B scale to halve the decoded
+    footprint."""
+    if isinstance(tree, dict):
+        if "q4" in tree and "absmax" in tree:
+            return dequantize_kernel_nf4(tree, dtype)
+        if "q4k" in tree and "kscale" in tree:
+            from open_pi_zero_tpu.ops.pallas_int4 import dequantize_kernel_int4k
+
+            return dequantize_kernel_int4k(tree, dtype)
+        if "scale" in tree and (
+            "qa" in tree or ("q" in tree and not isinstance(tree["q"], dict))
+        ):
+            payload = tree["q"] if "q" in tree else tree["qa"]
+            scale = tree["scale"]
+            if payload.ndim == 3:  # stacked [L, in, out], scale [L, out]
+                scale = scale[:, None, :]
+            return (payload.astype(jnp.float32) * scale).astype(dtype)
+        return {k: dequantize_base_weights(v, dtype) for k, v in tree.items()}
+    return tree
+
+
+def quantize_per_model_config(params: dict, model_cfg) -> dict:
+    """Apply the config-driven QLoRA base quantization (mixtures with
+    use_quantize -> NF4; SigLIP encoder when siglip.use_quantize) — the
+    exact transform TrainAgent applies after loading pretrained weights,
+    shared so checkpoint abstract trees (restore) match the saved
+    structure. Reference: the `quantize` train flag selecting bnb
+    Linear4bit tiers (src/model/lora.py:83-100)."""
+    qmix = [
+        n
+        for n in model_cfg.joint.mixture_names
+        if model_cfg.joint.mixture(n).use_quantize
+        and n in params["joint"]["mixtures"]
+    ]
+    if qmix:
+        params = dict(params)
+        joint = dict(params["joint"])
+        mixtures = dict(joint["mixtures"])
+        for n in qmix:
+            mixtures[n] = quantize_base_weights(mixtures[n], bits=4)
+        joint["mixtures"] = mixtures
+        params["joint"] = joint
+    if model_cfg.siglip.use_quantize:
+        params = dict(params)
+        sig = dict(params["siglip"])
+        sig["layers"] = quantize_base_weights(sig["layers"], keys=("kernel",), bits=4)
+        params["siglip"] = sig
+    return params
 
 
 def lora_label_fn(params, lora_label: str = "lora", base_label: str = "frozen"):

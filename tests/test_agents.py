@@ -596,3 +596,83 @@ def test_train_agent_zero1(bridge_dir, tmp_path):
         if hasattr(x, "sharding") and getattr(x, "ndim", 0) >= 2 and x.size > 1000
     ]
     assert any(x.sharding.spec != P() for x in big)
+
+
+@pytest.mark.slow
+def test_eval_agent_loads_qlora_checkpoint(tmp_path, monkeypatch):
+    """QLoRA checkpoint (NF4 frozen bases on vlm + vision, live adapters):
+    EvalAgent must restore the quantized structure, merge the adapters
+    (dequantizing bases), and serve — the reference's quantize+lora eval
+    path (src/model/lora.py:83-100 tiers)."""
+    from open_pi_zero_tpu.agents import env_adapter as ea
+    from open_pi_zero_tpu.agents.eval import EvalAgent
+    from open_pi_zero_tpu.config import ConfigDict, pizero_config_from_dict
+    from open_pi_zero_tpu.models import pizero
+    from open_pi_zero_tpu.ops import lora as lora_lib
+    from open_pi_zero_tpu.training import checkpoint as ckpt_lib
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    monkeypatch.setattr(ea, "_get_simpler_image", lambda env, obs: img)
+
+    cfg = ConfigDict(
+        {
+            "seed": 0,
+            "log_dir": str(tmp_path / "eval"),
+            "checkpoint_path": str(tmp_path / "ckpt"),
+            "n_eval_episode": 1,
+            "act_steps": 4,
+            "horizon_steps": 4,
+            "num_inference_steps": 2,
+            "max_image_text_tokens": 12,
+            "image_token_index": 500,
+            "vocab_size": 10000,
+            "time_hidden_size": 32,
+            "lora_r": 2,
+            "mixture": {
+                "vlm": {"hidden_size": 64, "intermediate_size": 128, "cache": True,
+                        "rope_theta": 10000.0, "use_lora": True,
+                        "use_quantize": True},
+                "proprio": {"hidden_size": 32, "intermediate_size": 64, "cache": True,
+                            "use_final_norm": True, "rope_theta": 100.0},
+                "action": {"hidden_size": 32, "intermediate_size": 64,
+                           "use_final_norm": True, "rope_theta": 100.0},
+            },
+            "vision": {
+                "use_lora": True,
+                "use_quantize": True,
+                "config": {
+                    "hidden_size": 32, "intermediate_size": 64,
+                    "num_hidden_layers": 2, "num_attention_heads": 4,
+                    "image_size": 28, "patch_size": 14, "num_image_tokens": 4,
+                    "lora": {"r": 2},
+                },
+            },
+            "vision_projector": {"config": {"vision_config": {"projection_dim": 64}}},
+            "joint": {"config": {
+                "num_hidden_layers": 2, "num_attention_heads": 4,
+                "num_key_value_heads": 1, "head_dim": 16,
+            }},
+        }
+    )
+    model_cfg = pizero_config_from_dict(cfg)
+    params = pizero.init_params(jax.random.key(0), model_cfg)
+    params = lora_lib.quantize_per_model_config(params, model_cfg)
+    vlm = params["joint"]["mixtures"]["vlm"]["layers"]["attn"]
+    assert "q4" in vlm["q"] and "q_lora" in vlm
+    assert "q4" in params["siglip"]["layers"]["attn"]["q"]["kernel"]
+    # "trained" adapters
+    import jax.numpy as jnp
+
+    params = jax.tree.map(
+        lambda x: x + 0.01 if x.dtype == jnp.float32 else x, params
+    )
+    ckpt_lib.save_params(cfg.checkpoint_path, params)
+
+    agent = EvalAgent(cfg, env=FakeEnv(), adapter=_adapter())
+    assert not lora_lib.has_lora(agent.params)
+    assert not lora_lib.has_lora(agent.params.get("siglip", {}))
+    # served tree re-quantized into the serving tiers, not the NF4 format
+    act_attn = agent.params["joint"]["mixtures"]["action"]["layers"]["attn"]
+    assert isinstance(act_attn["qkv"], dict) and "q" in act_attn["qkv"]
+    result = agent.run()
+    assert result["n_episodes"] == 1
