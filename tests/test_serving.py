@@ -22,7 +22,9 @@ def test_policy_buckets_pads_and_batches():
         seen.append(b)
         return np.tile(batch["x"][:, None, :], (1, 2, 1))  # [B, 2, d]
 
-    policy = BatchingPolicy(infer, batch_sizes=(1, 4), batch_window_ms=30).start()
+    # enqueue all requests BEFORE starting the worker so the batching is
+    # deterministic even under CPU starvation (no reliance on the window)
+    policy = BatchingPolicy(infer, batch_sizes=(1, 4), batch_window_ms=30)
     try:
         xs = [np.full((3,), i, np.float32) for i in range(3)]
         results = [None] * 3
@@ -33,15 +35,17 @@ def test_policy_buckets_pads_and_batches():
         threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
         for t in threads:
             t.start()
+        while policy._q.qsize() < 3:
+            time.sleep(0.01)
+        policy.start()
         for t in threads:
             t.join(10)
         for i in range(3):
             np.testing.assert_array_equal(results[i], np.tile(xs[i], (2, 1)))
-        # 3 concurrent requests -> one padded bucket of 4 (or a 1 + a
-        # bucket, depending on arrival timing) — never 3 singletons
+        # 3 queued requests -> exactly one bucket, padded to 4
         assert policy.n_requests == 3
-        assert policy.n_batches < 3
-        assert all(b in (1, 4) for b in seen)
+        assert policy.n_batches == 1
+        assert seen == [4]
     finally:
         policy.stop()
 
