@@ -18,7 +18,6 @@ import os
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from open_pi_zero_tpu.config import (

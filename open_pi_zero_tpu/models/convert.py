@@ -337,7 +337,6 @@ def merge_pretrained(init_params: dict, pretrained: dict, dtype=None) -> dict:
     """Overlay converted pretrained subtrees onto freshly-initialized params
     (the action expert keeps its random init, like the reference's
     strict=False joint load, pizero.py:207-221)."""
-    import jax
 
     def overlay(base, new):
         if isinstance(new, dict):

@@ -19,7 +19,7 @@ reference's clip over trained parameters only (train.py:371-379).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
