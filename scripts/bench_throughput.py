@@ -37,6 +37,12 @@ WARMUP = 5
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batches", type=int, nargs="+", default=[1, 4, 8, 16])
+    parser.add_argument(
+        "--w8a8-expert", action="store_true",
+        help="W8A8 on the action expert too (batched Euler is MXU-heavier; "
+        "measured 160.3 vs 158.4 chunks/s at B=16 on v5e — within noise, "
+        "so the lower-drift weight-only int8 expert stays the default)",
+    )
     args = parser.parse_args()
 
     from open_pi_zero_tpu.config import PiZeroConfig
@@ -51,8 +57,8 @@ def main():
     # than at B=1
     params = fuse.prepare_for_serving(
         pizero.init_params(jax.random.key(0), cfg, dtype=jnp.bfloat16),
-        quantize_mixtures=("action",),
-        w8a8_mixtures=("vlm",),
+        quantize_mixtures=() if args.w8a8_expert else ("action",),
+        w8a8_mixtures=("vlm", "action") if args.w8a8_expert else ("vlm",),
         w8a8_siglip=True,
     )
     rng = jax.random.key(1)
