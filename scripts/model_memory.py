@@ -61,8 +61,11 @@ def main():
 
     for name, kwargs in tiers.items():
         shapes = jax.eval_shape(lambda: build(kwargs))
-        gb = tree_bytes(shapes) / 2**30
-        print(f"{name:42s} {gb:7.2f} GiB")
+        b = tree_bytes(shapes)
+        if b >= 0.1 * 2**30:
+            print(f"{name:42s} {b / 2**30:8.2f} GiB")
+        else:
+            print(f"{name:42s} {b / 2**20:8.2f} MiB")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,52 @@
+"""Smoke tests for the repo-root utility scripts (argparse surfaces the
+reference exposes as runnable checks — SURVEY.md §4)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=240):
+    env = dict(os.environ, PYTHONPATH=ROOT, JAX_PLATFORMS="cpu")
+    return subprocess.run(
+        [sys.executable, *args],
+        cwd=ROOT,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+
+
+@pytest.mark.slow
+def test_check_sampling_runs():
+    r = _run(["scripts/check_sampling.py", "--n", "5000"])
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "sampling distributions ok" in r.stdout
+
+
+@pytest.mark.slow
+def test_model_memory_tiny_runs():
+    r = _run(["scripts/model_memory.py", "--tiny"])
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "NF4 whole trunk" in r.stdout
+    # the 4-bit tier must actually be smaller than bf16
+    lines = {
+        l.rsplit(None, 2)[0].strip(): float(l.rsplit(None, 2)[1])
+        for l in r.stdout.strip().splitlines()
+        if l.endswith(("GiB", "MiB"))
+    }
+    assert lines["NF4 whole trunk (memory tier)"] < lines["bf16 fused"]
+
+
+@pytest.mark.slow
+def test_check_simpler_reports_missing_env():
+    r = _run(["scripts/check_simpler.py"])
+    # without the external simulator installed the script must exit
+    # nonzero with a clear message (and run fine where it is installed)
+    if r.returncode != 0:
+        assert "simpler_env is not installed" in (r.stdout + r.stderr)
