@@ -49,6 +49,13 @@ def main():
 
     variants = {
         "bf16_fused": dict(),
+        # fp32: the reference's fp32+compile row (89 ms / 13.6 GB on a
+        # 24 GB 4090, reference README.md:76-78). Measured on one 16 GB
+        # v5e: RESOURCE_EXHAUSTED — 12 GB of fp32 params + the unrolled
+        # Euler graph's fp32 intermediates do not fit; fp32 serving of
+        # the 3B model needs 2+ chips (TP, parallel/sharding.py). Kept
+        # for larger-HBM parts.
+        "fp32_fused": dict(_dtype="float32"),
         "int8_expert": dict(quantize_mixtures=("action",)),
         "int8_joint": dict(quantize_mixtures=("vlm", "action")),
         "nf4_expert": dict(quantize_mixtures=("action",), bits=4),
@@ -71,10 +78,12 @@ def main():
     }
 
     def run(**kwargs):
+        dtype = jnp.float32 if kwargs.pop("_dtype", None) == "float32" else jnp.bfloat16
         params = fuse.prepare_for_serving(
-            pizero.init_params(jax.random.key(0), cfg, dtype=jnp.bfloat16),
+            pizero.init_params(jax.random.key(0), cfg, dtype=dtype),
             **kwargs,
         )
+        img_, prop_, noise_ = (x.astype(dtype) for x in (img, prop, noise))
 
         def chained(params, rng, ids, img, am, prop, noise):
             out = pizero.infer_action(
@@ -83,14 +92,14 @@ def main():
             return prop + (0.0 * out.mean()).astype(prop.dtype), out
 
         jfn = jax.jit(chained)
-        x, out = jfn(params, rng, ids, img, am, prop, noise)
+        x, out = jfn(params, rng, ids, img_, am, prop_, noise_)
         chunk = np.asarray(out, np.float32)
         for _ in range(WARMUP):
-            x, out = jfn(params, rng, ids, img, am, x, noise)
+            x, out = jfn(params, rng, ids, img_, am, x, noise_)
         _ = np.asarray(out[0, 0, 0])
         t0 = time.perf_counter()
         for _ in range(CHAIN):
-            x, out = jfn(params, rng, ids, img, am, x, noise)
+            x, out = jfn(params, rng, ids, img_, am, x, noise_)
         _ = np.asarray(out[0, 0, 0])
         ms = (time.perf_counter() - t0) * 1e3 / CHAIN
         del params, jfn
