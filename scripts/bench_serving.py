@@ -111,7 +111,15 @@ def main():
     for name, kwargs in variants.items():
         if only and name not in only and name != "bf16_fused":
             continue
-        ms, chunk = run(**kwargs)
+        try:
+            ms, chunk = run(**kwargs)
+        except Exception as e:  # noqa: BLE001 — a variant may not fit this chip
+            print(
+                json.dumps({"variant": name, "error": f"{type(e).__name__}: {e}"[:200]}),
+                flush=True,
+            )
+            gc.collect()
+            continue
         drift = (
             None
             if base_chunk is None
