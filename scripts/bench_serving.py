@@ -49,13 +49,6 @@ def main():
 
     variants = {
         "bf16_fused": dict(),
-        # fp32: the reference's fp32+compile row (89 ms / 13.6 GB on a
-        # 24 GB 4090, reference README.md:76-78). Measured on one 16 GB
-        # v5e: RESOURCE_EXHAUSTED — 12 GB of fp32 params + the unrolled
-        # Euler graph's fp32 intermediates do not fit; fp32 serving of
-        # the 3B model needs 2+ chips (TP, parallel/sharding.py). Kept
-        # for larger-HBM parts.
-        "fp32_fused": dict(_dtype="float32"),
         "int8_expert": dict(quantize_mixtures=("action",)),
         "int8_joint": dict(quantize_mixtures=("vlm", "action")),
         "nf4_expert": dict(quantize_mixtures=("action",), bits=4),
@@ -75,6 +68,13 @@ def main():
         "w8a8_full_int8_expert": dict(
             quantize_mixtures=("action",), w8a8_mixtures=("vlm",), w8a8_siglip=True
         ),
+        # fp32: the reference's fp32+compile row (89 ms / 13.6 GB on a
+        # 24 GB 4090, reference README.md:76-78). Measured on one 16 GB
+        # v5e: RESOURCE_EXHAUSTED — 12 GB of fp32 params + the unrolled
+        # Euler graph's fp32 intermediates do not fit; fp32 serving of
+        # the 3B model needs 2+ chips (TP, parallel/sharding.py). LAST in
+        # the sweep so its OOM cannot poison later variants.
+        "fp32_fused": dict(_dtype="float32"),
     }
 
     def run(**kwargs):
@@ -111,13 +111,16 @@ def main():
     for name, kwargs in variants.items():
         if only and name not in only and name != "bf16_fused":
             continue
+        err = None
         try:
             ms, chunk = run(**kwargs)
         except Exception as e:  # noqa: BLE001 — a variant may not fit this chip
-            print(
-                json.dumps({"variant": name, "error": f"{type(e).__name__}: {e}"[:200]}),
-                flush=True,
-            )
+            err = f"{type(e).__name__}: {e}"[:200]
+        if err is not None:
+            # cleanup OUTSIDE the except block: the exception's traceback
+            # pins run()'s locals (incl. the device params) until it dies
+            print(json.dumps({"variant": name, "error": err}), flush=True)
+            jax.clear_caches()
             gc.collect()
             continue
         drift = (
