@@ -123,3 +123,44 @@ def test_tcp_server_end_to_end_tiny_model():
     finally:
         srv.shutdown()
         policy.stop()
+
+
+def test_tcp_malformed_request_gets_error_reply():
+    """Protocol robustness: bad JSON / missing keys produce an error reply
+    on that request without killing the connection or the server."""
+    import json
+    import socket
+
+    def infer(batch):
+        return np.zeros((batch["input_ids"].shape[0], 2, 7), np.float32)
+
+    policy = BatchingPolicy(infer, batch_sizes=(1,), batch_window_ms=1).start()
+    srv = ActionServer(("127.0.0.1", 0), policy)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with socket.create_connection(("127.0.0.1", port), timeout=10) as s:
+            f = s.makefile("rwb")
+            f.write(b"this is not json\n")
+            f.flush()
+            resp = json.loads(f.readline())
+            assert "error" in resp
+            f.write(b'{"input_ids": [1]}\n')  # missing keys
+            f.flush()
+            resp = json.loads(f.readline())
+            assert "error" in resp
+            # the same connection still serves a valid request afterwards
+            ok = {
+                "input_ids": [1, 2],
+                "pixel_values": [[[0.0, 0.0, 0.0]]],
+                "attention_mask": [1, 1],
+                "proprios": [[0.0]],
+            }
+            f.write((json.dumps(ok) + "\n").encode())
+            f.flush()
+            resp = json.loads(f.readline())
+            assert "action_chunk" in resp
+    finally:
+        srv.shutdown()
+        policy.stop()

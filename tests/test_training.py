@@ -439,3 +439,73 @@ class TestQLoRATraining:
         assert float(metrics["grad_norm"]) > 0
         # EMA tree kept the integer payloads intact
         assert state.avg.avg_params["joint"]["mixtures"]["vlm"]["layers"]["attn"]["q"]["q4"].dtype == jnp.uint8
+
+
+@pytest.mark.slow
+def test_qlora_zero1_remat_pod_recipe():
+    """The realistic pod fine-tune combo: QLoRA (NF4 frozen vlm base +
+    adapters) + ZeRO-1 optimizer-state sharding + per-layer remat + int8
+    optimizer states on an 8-device mesh — one jitted step must run with
+    finite loss and keep the quantized payloads bit-identical."""
+    import numpy as np
+    from open_pi_zero_tpu.config import LoraConfig, dataclass_replace
+    from open_pi_zero_tpu.ops import lora as lora_lib
+    from open_pi_zero_tpu.parallel import make_mesh, shard_batch
+    from open_pi_zero_tpu.training.train_step import (
+        init_train_state,
+        make_jitted_train_step,
+        shard_state_zero1,
+        zero1_state_sharding,
+    )
+
+    cfg = tiny_pizero_config()
+    mixtures = tuple(
+        dataclass_replace(
+            m,
+            use_lora=(name == "vlm"),
+            use_quantize=(name == "vlm"),
+            lora=LoraConfig(r=2),
+        )
+        for name, m in zip(cfg.joint.mixture_names, cfg.joint.mixtures)
+    )
+    cfg = dataclass_replace(
+        cfg, joint=dataclass_replace(cfg.joint, mixtures=mixtures, remat=True)
+    )
+    params = pizero.init_params(jax.random.key(0), cfg)
+    params = lora_lib.quantize_per_model_config(params, cfg)
+    assert "q4" in params["joint"]["mixtures"]["vlm"]["layers"]["attn"]["q"]
+
+    tcfg = TrainingConfig(
+        lora=True,
+        quantize_optimizer_states=True,
+        use_ema=True,
+        ema_start=0,
+        action_lr_scheduler=LRSchedulerConfig(first_cycle_steps=100, warmup_steps=0),
+        vlm_lr_scheduler=LRSchedulerConfig(first_cycle_steps=100, warmup_steps=0),
+    )
+    mesh = make_mesh(n_data=8)
+    tx = opt_lib.build_optimizer(tcfg, params)
+    state = init_train_state(params, tx, jax.random.key(1), tcfg)
+    state = shard_state_zero1(state, mesh)
+    sharding = zero1_state_sharding(state, mesh)
+
+    ids = np.zeros((8, cfg.max_image_text_tokens), np.int32)
+    ids[:, : cfg.siglip.num_image_tokens] = cfg.image_token_index
+    batch = shard_batch(mesh, {
+        "input_ids": jnp.asarray(ids),
+        "pixel_values": jnp.zeros((8, 28, 28, 3)),
+        "attention_mask": jnp.asarray((ids != 0).astype(np.int32)),
+        "proprios": jnp.zeros((8, 1, cfg.proprio_dim)),
+        "actions": jnp.zeros((8, cfg.horizon_steps, cfg.action_dim)),
+    })
+    step = make_jitted_train_step(cfg, tcfg, tx, mesh, state_sharding=sharding)
+    q4_before = np.asarray(
+        params["joint"]["mixtures"]["vlm"]["layers"]["attn"]["q"]["q4"]
+    ).copy()
+    state, metrics = step(state, batch)
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    q4_after = np.asarray(
+        state.params["joint"]["mixtures"]["vlm"]["layers"]["attn"]["q"]["q4"]
+    )
+    np.testing.assert_array_equal(q4_after, q4_before)
