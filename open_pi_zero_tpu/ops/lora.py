@@ -73,10 +73,11 @@ def base_matmul(x: jax.Array, w, spec: str = "...i,io->...o") -> jax.Array:
                    activation dtype before the matmul (a memory tier; the
                    serving path hoists this dequant out of the Euler loop,
                    models/pizero.py).
-      {q4k, kscale} k-packed linear int4 — Pallas fused dequant-matmul on
-                   single-device TPU (ops/pallas_int4.py): nibbles unpack
-                   in VMEM so the weights stream at the 4-bit rate (the
-                   latency tier for the Euler loop's weight re-streaming).
+      {q4k, kscale} k-packed linear int4 — Pallas fused dequant-matmul
+                   (ops/pallas_int4.py, opt-in OPZ_INT4_KERNEL=1: measured
+                   VPU-bound on v5e, so serving normally decodes 4-bit to
+                   int8 once per call instead — pizero._hoist_4bit);
+                   XLA dequant-then-einsum fallback otherwise.
     """
     if isinstance(w, dict) and "q4k" in w:
         from open_pi_zero_tpu.ops.pallas_int4 import int4k_matmul

@@ -12,8 +12,13 @@ latency is bounded by weight bytes/step. The tiers:
 XLA cannot express "dequantize int4 inside the dot's operand read" — a
 jnp path materializes the dequantized [K, N] matrix in HBM, which costs
 MORE traffic than int8. Only a kernel that unpacks nibbles in VMEM gets
-the 4-bit streaming rate; the VPU unpack (~4 ops/element) hides under the
-HBM DMA in this memory-bound regime.
+the 4-bit streaming rate. MEASURED CAVEAT (v5e): the unpack does NOT
+hide under the DMA in practice — Mosaic cannot shift int8 vectors, the
+int32 detour relayouts 4x, and the kernel ends up VPU-bound and slower
+than the int8 weight-only XLA path (see int4_kernel_enabled); serving
+instead decodes 4-bit to int8 once per call (models/pizero._hoist_4bit).
+Kept as the HBM-minimal option and for TPU generations with native i4
+vector support.
 
 Layout ("k-packed int4", built by ops.quantization.quantize_kernel_int4k):
   byte[k, n] = (u[k + K/2, n] << 4) | u[k, n]   for k < K/2,  u = q + 8
