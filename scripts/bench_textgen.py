@@ -28,10 +28,16 @@ MAX_NEW = 20
 
 def main():
     from open_pi_zero_tpu.config import PiZeroConfig, dataclass_replace
-    from open_pi_zero_tpu.models import pizero
+    from open_pi_zero_tpu.models import fuse, pizero
 
+    layout = sys.argv[1] if len(sys.argv) > 1 else "bf16"  # bf16|int8
     cfg = dataclass_replace(PiZeroConfig(), max_decode_tokens=MAX_NEW)
     params = pizero.init_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)
+    if layout == "int8":
+        # decode streams the whole vlm trunk per token -> weight-only int8
+        # halves the bytes (embed/lm_head stays bf16: tied + used as a
+        # gather table)
+        params = fuse.prepare_for_serving(params, quantize_mixtures=("vlm",))
 
     n_img = cfg.siglip.num_image_tokens
     ids = np.full((1, n_img + 4), 100, np.int32)
@@ -62,6 +68,7 @@ def main():
         json.dumps(
             {
                 "metric": "text_generation_latency",
+                "layout": layout,
                 "value": round(total_ms, 3),
                 "unit": "ms",
                 "prompt_tokens": int(ids.shape[1]),
