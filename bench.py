@@ -46,11 +46,29 @@ def _read_overhead_ms(reps: int = 5) -> float:
     return float(np.median(times))
 
 
-def main():
+def _log_mem(stage: str) -> None:
+    import sys
+
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        gib = stats.get("bytes_in_use", 0) / 1024**3
+        peak = stats.get("peak_bytes_in_use", 0) / 1024**3
+        print(f"[bench] HBM after {stage}: {gib:.2f} GiB (peak {peak:.2f})",
+              file=sys.stderr)
+    except Exception:
+        pass  # memory_stats unsupported on some backends
+
+
+def _setup_and_warmup():
+    """Build serving params (streaming, ~6.5 GB peak — fuse.build_serving_params)
+    and warm the jitted chain. Separated so an OOM here can be retried once
+    after a GC (round-2 driver record BENCH_r02.json was rc=1
+    RESOURCE_EXHAUSTED from transient HBM pressure, not a broken bench)."""
     from __graft_entry__ import entry
 
     fn, args = entry()
     params, rng, ids, img, am, prop = args
+    _log_mem("param build")
 
     def chained(params, rng, ids, img, am, prop):
         # carry: actions feed a zero-scaled term into proprio -> serialized
@@ -68,6 +86,29 @@ def main():
     for _ in range(4):
         p, out = jfn(params, rng, ids, img, am, p)
     _ = np.asarray(out[0, 0, 0])
+    _log_mem("warmup")
+    return jfn, params, rng, ids, img, am, prop
+
+
+def main():
+    import gc
+    import sys
+
+    state = None
+    try:
+        state = _setup_and_warmup()
+    except jax.errors.JaxRuntimeError as e:
+        if "RESOURCE_EXHAUSTED" not in str(e):
+            raise
+        # transient HBM pressure (shared chip). Note the retry happens
+        # OUTSIDE this except block: the live traceback pins the failed
+        # attempt's frames (and their half-built param tree) in HBM.
+        print(f"[bench] setup OOM, retrying once after GC: {e}", file=sys.stderr)
+    if state is None:
+        jax.clear_caches()
+        gc.collect()
+        state = _setup_and_warmup()
+    jfn, params, rng, ids, img, am, prop = state
 
     overhead = _read_overhead_ms()
 

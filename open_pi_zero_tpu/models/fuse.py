@@ -140,6 +140,123 @@ def prepare_for_serving(
     return params
 
 
+def build_serving_params(
+    key,
+    cfg,
+    dtype=jnp.bfloat16,
+    quantize_mixtures=(),
+    bits: int = 8,
+    code: str = "nf4",
+    w8a8_mixtures=(),
+    w8a8_siglip: bool = False,
+    w8a8_keys=None,
+    log_memory: bool = False,
+) -> dict:
+    """Streaming, OOM-proof equivalent of
+    ``prepare_for_serving(pizero.init_params(key, cfg, dtype), ...)``.
+
+    The naive sequence materializes the full float tree (~7 GB bf16 at
+    bridge scale) and then builds the quantized serving copy BESIDE it —
+    a transient ~11 GB+ peak that loses on a 16 GB v5e whenever anything
+    else holds HBM (this is exactly what produced the round-2 driver OOM,
+    BENCH_r02.json rc=1). This builder instead initializes, fuses, and
+    quantizes ONE module at a time, dropping each bf16 intermediate before
+    the next module is touched, so peak HBM stays at (final serving tree +
+    one bf16 mixture + its fusion transients) ≈ 6.5 GB instead of 11+.
+
+    Key discipline: splits the root key exactly like ``pizero.init_params``
+    (and ``joint.init_joint_params`` for the per-mixture keys), so the
+    result is bitwise identical to the two-step build — asserted at tiny
+    geometry by tests/test_fuse.py.
+
+    Reference parity: the reference loads checkpoints straight into the
+    quantized layout too (bnb ``Linear4bit`` quantizes at ``load_state_dict``
+    time, one module at a time — src/model/lora.py:83-100); the full-tree
+    float detour was never part of its serving path either.
+    """
+    import gc
+
+    import jax
+
+    from open_pi_zero_tpu.models import joint as joint_lib
+    from open_pi_zero_tpu.models import mixture as mx
+    from open_pi_zero_tpu.models import siglip as siglip_lib
+    from open_pi_zero_tpu.ops import lora as lora_lib
+    from open_pi_zero_tpu.ops.linear import linear_init
+
+    def _log(stage):
+        if log_memory:
+            from open_pi_zero_tpu.utils.monitor import log_device_memory
+
+            try:
+                log_device_memory(stage=stage)
+            except Exception:
+                pass  # memory_stats unsupported on some backends
+
+    keys = list(jax.random.split(key, 10))
+    (k_embed, k_ae1, k_ae2, k_ae3, k_sig, k_proj, k_joint, k_prop, k_dec) = keys[:9]
+
+    # ---- joint mixtures, biggest (vlm) first: init -> fuse -> quantize,
+    # freeing the bf16/fused intermediates before the next module
+    names = [
+        n for n in cfg.joint.mixture_names if joint_lib.param_key(cfg.joint, n) == n
+    ]
+    jkeys = jax.random.split(k_joint, len(names))
+    mixtures = {}
+    for n, k in zip(names, jkeys):
+        p = mx.init_mixture_params(k, cfg.joint, cfg.joint.mixture(n), dtype)
+        p = {**p, "layers": fuse_mixture_layers(p["layers"])}
+        if n in quantize_mixtures:
+            q = lora_lib.quantize_base_weights(p, bits=bits, code=code)
+        elif n in w8a8_mixtures:
+            q = lora_lib.quantize_base_weights(
+                p, keys=w8a8_keys or lora_lib.QUANTIZE_KEYS, w8a8=True
+            )
+        else:
+            q = p
+        mixtures[n] = q
+        del p, q
+        gc.collect()
+        _log(f"mixture {n}")
+
+    # ---- SigLIP tower
+    sig = siglip_lib.init_params(k_sig, cfg.siglip, dtype)
+    sig = {**sig, "layers": fuse_siglip_layers(sig["layers"])}
+    if w8a8_siglip:
+        sig = {
+            **sig,
+            "layers": lora_lib.quantize_base_weights(
+                sig["layers"], keys=("kernel",), w8a8=True
+            ),
+        }
+    gc.collect()
+    _log("siglip")
+
+    # ---- small float leaves (identical to pizero.init_params)
+    vlm_hidden = cfg.mixture("vlm").hidden_size
+    action_hidden = cfg.mixture("action").hidden_size
+    proprio_hidden = cfg.mixture("proprio").hidden_size
+    embed = jax.random.normal(k_embed, (cfg.vocab_size, vlm_hidden), dtype)
+    embed = embed.at[cfg.pad_token_id].set(0.0)
+    time_cond = cfg.action_expert_adaptive_mode is None
+    enc_in2 = 2 * action_hidden if time_cond else action_hidden
+    params = {
+        "embed_tokens": embed,
+        "siglip": sig,
+        "projector": siglip_lib.init_projector_params(k_proj, cfg.siglip, dtype),
+        "joint": {"mixtures": mixtures},
+        "action_encoder": {
+            "linear_1": linear_init(k_ae1, cfg.action_dim, action_hidden, dtype),
+            "linear_2": linear_init(k_ae2, enc_in2, action_hidden, dtype),
+            "linear_3": linear_init(k_ae3, action_hidden, action_hidden, dtype),
+        },
+        "proprio_encoder": linear_init(k_prop, cfg.proprio_dim, proprio_hidden, dtype),
+        "action_decoder": linear_init(k_dec, action_hidden, cfg.action_dim, dtype),
+    }
+    _log("serving tree complete")
+    return params
+
+
 def fuse_for_serving(params: dict) -> dict:
     """Full PiZero param tree -> fused-serving layout (new tree; the input
     is not mutated)."""

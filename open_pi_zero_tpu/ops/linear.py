@@ -37,7 +37,7 @@ def linear(x: jax.Array, kernel, bias: Optional[jax.Array] = None) -> jax.Array:
             kernel["q"].astype(x.dtype),
             preferred_element_type=jnp.float32,
         ) * kernel["scale"].astype(jnp.float32)
-    elif isinstance(kernel, dict):
+    elif isinstance(kernel, dict) and "qa" in kernel:
         from open_pi_zero_tpu.ops.quantization import quantize_act_per_token
 
         xq, sx = quantize_act_per_token(x)
@@ -45,6 +45,12 @@ def linear(x: jax.Array, kernel, bias: Optional[jax.Array] = None) -> jax.Array:
             "...i,io->...o", xq, kernel["qa"], preferred_element_type=jnp.int32
         )
         out = out.astype(jnp.float32) * sx * kernel["scale"].astype(jnp.float32)
+    elif isinstance(kernel, dict):
+        raise ValueError(
+            f"unsupported quantized kernel format {sorted(kernel)} — linear() "
+            "handles {q4, absmax} NF4, {q, scale} weight-only int8 and "
+            "{qa, scale} W8A8 (int4k kernels go through ops.lora.base_matmul)"
+        )
     else:
         out = jnp.einsum(
             "...i,io->...o", x, kernel, preferred_element_type=jnp.float32

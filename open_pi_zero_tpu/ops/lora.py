@@ -251,6 +251,20 @@ def quantize_base_weights(
     return walk(tree)
 
 
+def is_quantized_base(d) -> bool:
+    """True if `d` is a single quantized-kernel payload dict ({q4, absmax}
+    NF4, {q4k, kscale} int4, {q|qa, scale} int8). The `"q" is not a dict`
+    guard distinguishes an int8-quantized payload from an attention dict
+    whose q/k/v kernels are themselves quantized dicts."""
+    if not isinstance(d, dict):
+        return False
+    if ("q4" in d and "absmax" in d) or ("q4k" in d and "kscale" in d):
+        return True
+    return "scale" in d and (
+        "qa" in d or ("q" in d and not isinstance(d["q"], dict))
+    )
+
+
 def has_quantized_bases(tree) -> bool:
     """True if any quantized base dict remains in the tree."""
     if isinstance(tree, dict):

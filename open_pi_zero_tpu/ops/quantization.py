@@ -186,6 +186,17 @@ def dequantize_4bit(qt: Q4Tensor) -> jax.Array:
     return blocks.reshape(-1)[:n].reshape(qt.shape)
 
 
+# On-disk/payload layout version for 4-bit kernel dicts. v1 packed nibble
+# PAIRS ((idx[2i+1]<<4)|idx[2i], dequant = lane interleave); v2 packs
+# HALVES (low nibbles = first N/2 columns, dequant = lane concat — TPU
+# lane interleaves dominated the decode cost). The version is stamped into
+# checkpoint metadata (training/checkpoint.py) rather than the payload
+# dict: an extra scalar leaf would break lax.scan over stacked [L, ...]
+# layer dicts. A v1-era checkpoint restored into v2 code would silently
+# dequantize scrambled weights — the metadata check makes it fail loudly.
+QUANT_LAYOUT_VERSION = 2
+
+
 def quantize_kernel_nf4(w: jax.Array, block: int = DEFAULT_BLOCK_4BIT) -> dict:
     """NF4 layout for model kernels: blocks run along the LAST dim so a
     stacked [L, in, out] kernel quantizes to plain-dict leaves with the same

@@ -79,7 +79,17 @@ class BatchingPolicy:
 
     def stop(self):
         self._stop.set()
-        self._worker.join(timeout=5)
+        if self._worker.ident is not None:  # join() raises on unstarted threads
+            self._worker.join(timeout=5)
+        # fail still-enqueued requests fast instead of leaving their
+        # submitters blocked for the full submit() timeout
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                break
+            req.error = "server shutting down"
+            req.event.set()
 
     def submit(self, inputs: dict, timeout: float = 30.0) -> np.ndarray:
         """Blocking: enqueue one observation, wait for its action chunk."""

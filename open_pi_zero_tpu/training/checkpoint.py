@@ -32,10 +32,43 @@ def save_checkpoint(path: str, state: TrainState, extra: Optional[dict] = None):
         # collective: EVERY process must call save (orbax barriers inside)
         ckptr.save(os.path.join(path, STATE_DIR), state, force=True)
     if jax.process_index() == 0:
+        extra = dict(extra or {})
+        extra.update(_quant_meta(state.params))
         tmp = os.path.join(path, META_FILE + ".tmp")
         with open(tmp, "w") as f:
-            json.dump(extra or {}, f)
+            json.dump(extra, f)
         os.replace(tmp, os.path.join(path, META_FILE))
+
+
+def _quant_meta(params) -> dict:
+    """Stamp the 4-bit nibble-packing layout version when the tree carries
+    quantized bases, so a payload saved under an older packing fails loudly
+    at restore instead of silently dequantizing scrambled weights (the
+    version lives in metadata, not the payload dict — an extra scalar leaf
+    would break lax.scan over stacked layer dicts)."""
+    from open_pi_zero_tpu.ops.lora import has_quantized_bases
+    from open_pi_zero_tpu.ops.quantization import QUANT_LAYOUT_VERSION
+
+    if has_quantized_bases(params):
+        return {"quant_layout_version": QUANT_LAYOUT_VERSION}
+    return {}
+
+
+def _check_quant_meta(params, extra: dict, path: str) -> None:
+    from open_pi_zero_tpu.ops.lora import has_quantized_bases
+    from open_pi_zero_tpu.ops.quantization import QUANT_LAYOUT_VERSION
+
+    if not has_quantized_bases(params):
+        return
+    got = extra.get("quant_layout_version")
+    if got != QUANT_LAYOUT_VERSION:
+        raise ValueError(
+            f"checkpoint {path} carries quantized bases with packing layout "
+            f"version {got!r}, but this code expects "
+            f"{QUANT_LAYOUT_VERSION} — dequantizing would silently scramble "
+            "the weights. Re-quantize from the float checkpoint "
+            "(ops.lora.quantize_per_model_config)."
+        )
 
 
 def restore_checkpoint(path: str, abstract_state: TrainState) -> tuple:
@@ -55,18 +88,35 @@ def restore_checkpoint(path: str, abstract_state: TrainState) -> tuple:
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             extra = json.load(f)
+    _check_quant_meta(state.params, extra, path)
     return state, extra
 
 
 def save_params(path: str, params: dict):
     """Params-only export (for eval/serving)."""
+    path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.join(os.path.abspath(path), "params"), params, force=True)
+        ckptr.save(os.path.join(path, "params"), params, force=True)
+    if jax.process_index() == 0:
+        meta = _quant_meta(params)
+        if meta:
+            tmp = os.path.join(path, META_FILE + ".tmp")
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, os.path.join(path, META_FILE))
 
 
 def restore_params(path: str, abstract_params: dict) -> dict:
+    path = os.path.abspath(path)
     abstract = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), abstract_params
     )
     with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(os.path.join(os.path.abspath(path), "params"), abstract)
+        params = ckptr.restore(os.path.join(path, "params"), abstract)
+    meta_path = os.path.join(path, META_FILE)
+    extra: dict[str, Any] = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            extra = json.load(f)
+    _check_quant_meta(params, extra, path)
+    return params

@@ -100,6 +100,8 @@ def param_labels(params: dict, train_vlm: bool = True, lora: bool = False) -> di
     their `<name>_lora` adapters — the reference's
     freeze_non_lora_weights_in_vlm (src/agent/train.py:101-102,
     pizero.py:236-248); the action expert still trains fully."""
+    from open_pi_zero_tpu.ops.lora import is_quantized_base
+
     vlm_label = "vlm" if train_vlm else "frozen"
     top = {
         "embed_tokens": "frozen",
@@ -111,7 +113,20 @@ def param_labels(params: dict, train_vlm: bool = True, lora: bool = False) -> di
     }
 
     def label_tree(subtree, label):
-        return jax.tree.map(lambda _: label, subtree)
+        # Quantized base dicts ({q4, absmax} / {q|qa, scale} / {q4k, kscale})
+        # are ALWAYS frozen, lora flag or not: the reference keeps
+        # bnb-quantized modules fully frozen (train.py:90-93 "fully
+        # frozen"). Without this, quantize=true + lora=false would give the
+        # fp32 absmax/scale leaves real AdamW updates through the
+        # differentiable dequant, silently corrupting the bases.
+        def walk(d):
+            if is_quantized_base(d):
+                return jax.tree.map(lambda _: "frozen", d)
+            if isinstance(d, dict):
+                return {k: walk(v) for k, v in d.items()}
+            return label
+
+        return walk(subtree)
 
     def label_lora_only(subtree, trained_label):
         def walk(d, in_lora):

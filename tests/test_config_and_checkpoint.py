@@ -178,3 +178,47 @@ class TestCheckpoint:
         out = restore_params(str(tmp_path / "p"), params)
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(out)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_quant_layout_version_stamped_and_checked(self, tmp_path):
+        """4-bit payloads save with a packing-layout version in meta; a
+        payload with an old/absent version fails LOUDLY at restore (the
+        halves-vs-interleave nibble layouts restore without structural
+        error but dequantize to scrambled weights)."""
+        import json
+
+        import pytest
+
+        from open_pi_zero_tpu.ops import lora as lora_lib
+        from open_pi_zero_tpu.ops.quantization import QUANT_LAYOUT_VERSION
+
+        cfg = tiny_pizero_config()
+        params = pizero.init_params(jax.random.key(3), cfg)
+        params = {
+            **params,
+            "joint": {
+                "mixtures": {
+                    name: (
+                        lora_lib.quantize_base_weights(m, bits=4)
+                        if name == "vlm"
+                        else m
+                    )
+                    for name, m in params["joint"]["mixtures"].items()
+                }
+            },
+        }
+        save_params(str(tmp_path / "q"), params)
+        meta = json.loads((tmp_path / "q" / "meta.json").read_text())
+        assert meta["quant_layout_version"] == QUANT_LAYOUT_VERSION
+        out = restore_params(str(tmp_path / "q"), params)
+        assert "q4" in out["joint"]["mixtures"]["vlm"]["layers"]["attn"]["q"]
+
+        # simulate a pre-version checkpoint: drop the marker
+        (tmp_path / "q" / "meta.json").write_text("{}")
+        with pytest.raises(ValueError, match="packing layout"):
+            restore_params(str(tmp_path / "q"), params)
+
+        # float-only trees are exempt (no marker, no check)
+        fparams = pizero.init_params(jax.random.key(4), cfg)
+        save_params(str(tmp_path / "f"), fparams)
+        assert not (tmp_path / "f" / "meta.json").exists()
+        restore_params(str(tmp_path / "f"), fparams)

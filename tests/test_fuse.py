@@ -158,3 +158,37 @@ def test_w8a8_merge_lora_dequantizes_qa(setup):
     assert not isinstance(w, dict) and w.shape == (L, din, dout)
     ref = params["joint"]["mixtures"]["vlm"]["layers"]["attn"]["q"]
     assert float(jnp.mean(jnp.abs(w - ref))) < 0.01
+
+
+def test_build_serving_params_bitwise_matches_two_step(setup):
+    """The streaming (OOM-proof) builder must be bitwise identical to
+    prepare_for_serving(init_params(...)) — same key splits, same module
+    init order, interleaved memory management only."""
+    cfg, params, *_ = setup
+    tiers = dict(
+        quantize_mixtures=("action",), w8a8_mixtures=("vlm",), w8a8_siglip=True
+    )
+    want = fuse.prepare_for_serving(
+        pizero.init_params(jax.random.key(7), cfg), **tiers
+    )
+    got = fuse.build_serving_params(jax.random.key(7), cfg, jnp.float32, **tiers)
+    assert jax.tree.structure(got) == jax.tree.structure(want)
+    for (pw, w), (pg, g) in zip(
+        jax.tree_util.tree_leaves_with_path(want),
+        jax.tree_util.tree_leaves_with_path(got),
+    ):
+        assert pw == pg
+        np.testing.assert_array_equal(
+            np.asarray(w), np.asarray(g), err_msg=jax.tree_util.keystr(pw)
+        )
+
+
+def test_build_serving_params_bf16_plain(setup):
+    """No-quantization path: streaming builder == fuse_for_serving(init)."""
+    cfg, *_ = setup
+    want = fuse.fuse_for_serving(
+        pizero.init_params(jax.random.key(3), cfg, jnp.bfloat16)
+    )
+    got = fuse.build_serving_params(jax.random.key(3), cfg, jnp.bfloat16)
+    for w, g in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))

@@ -556,6 +556,54 @@ def test_lora_only_vlm_labels_freeze_bases():
     assert float(jnp.sum(jnp.abs(updates["joint"]["mixtures"]["action"]["layers"]["attn"]["q"]))) > 0.0
 
 
+def test_quantized_bases_frozen_without_lora():
+    """quantize=true + lora=false (a supported combo: configs wire
+    use_quantize=${quantize} independently of lora) must still freeze the
+    quantized base dicts: the reference keeps bnb-quantized modules fully
+    frozen (train.py:90-93 "fully frozen"). Regression test for the
+    round-2 advisor finding where the fp32 absmax leaves got real AdamW
+    updates through the differentiable NF4 dequant."""
+    from open_pi_zero_tpu.config import TrainingConfig
+    from open_pi_zero_tpu.training import optimizer as opt_lib
+
+    cfg = tiny_pizero_config()
+    mixtures = tuple(
+        dataclass_replace(m, use_quantize=(name == "vlm"))
+        for name, m in zip(cfg.joint.mixture_names, cfg.joint.mixtures)
+    )
+    cfg = dataclass_replace(cfg, joint=dataclass_replace(cfg.joint, mixtures=mixtures))
+    params = pizero.init_params(jax.random.key(0), cfg)
+    params = lora_lib.quantize_per_model_config(params, cfg)
+    q = params["joint"]["mixtures"]["vlm"]["layers"]["attn"]["q"]
+    assert isinstance(q, dict) and "q4" in q  # NF4 base in place
+
+    labels = opt_lib.param_labels(params, train_vlm=True, lora=False)
+    vlm = labels["joint"]["mixtures"]["vlm"]["layers"]
+    assert set(vlm["attn"]["q"].values()) == {"frozen"}
+    assert set(vlm["mlp"]["gate"].values()) == {"frozen"}
+    # non-quantized vlm leaves keep training
+    assert vlm["input_norm"]["weight"] == "vlm"
+
+    # end-to-end: the optimizer zeroes every quantized-base update
+    tcfg = TrainingConfig(lora=False)
+    tx = opt_lib.build_optimizer(tcfg, params)
+    # grads as produced by jax.grad(..., allow_int=True): float leaves get
+    # real grads, int payloads get zeros
+    grads = jax.tree.map(
+        lambda x: (
+            jnp.ones_like(x)
+            if jnp.issubdtype(x.dtype, jnp.floating)
+            else jnp.zeros(x.shape, jnp.float32)
+        ),
+        params,
+    )
+    updates, _ = tx.update(grads, tx.init(params), params)
+    uq = updates["joint"]["mixtures"]["vlm"]["layers"]["attn"]["q"]
+    assert float(jnp.sum(jnp.abs(uq["absmax"]))) == 0.0
+    un = updates["joint"]["mixtures"]["vlm"]["layers"]["input_norm"]["weight"]
+    assert float(jnp.sum(jnp.abs(un))) > 0.0
+
+
 def test_convert_siglip_maps_lora_adapters():
     """convert_siglip picks up reference lora_A/lora_B tensors beside each
     frozen .weight (reference LoRALinear, src/model/lora.py:167-168) and a

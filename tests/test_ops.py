@@ -276,3 +276,15 @@ def test_gaussian_fourier_features_golden():
     np.testing.assert_allclose(
         out, np.concatenate([np.sin(proj), np.cos(proj)], -1), rtol=2e-5, atol=2e-5
     )
+
+
+def test_linear_rejects_unknown_quantized_dict():
+    """An unrecognized dict kernel must raise a clear ValueError, not a
+    KeyError mid-trace (advisor r2: int4k {q4k, kscale} reaching linear())."""
+    import pytest
+
+    from open_pi_zero_tpu.ops.linear import linear
+
+    x = jnp.ones((2, 4), jnp.float32)
+    with pytest.raises(ValueError, match="unsupported quantized kernel"):
+        linear(x, {"q4k": jnp.zeros((2, 4), jnp.uint8), "kscale": jnp.ones((4,))})

@@ -164,3 +164,31 @@ def test_tcp_malformed_request_gets_error_reply():
     finally:
         srv.shutdown()
         policy.stop()
+
+
+def test_stop_drains_pending_requests():
+    """stop() must fail still-enqueued requests fast, not leave their
+    submitters blocked for the full submit() timeout."""
+
+    def infer(batch):  # worker never started; queue just accumulates
+        return np.zeros((batch["x"].shape[0], 2, 3), np.float32)
+
+    policy = BatchingPolicy(infer, batch_sizes=(1,))
+    errors = []
+
+    def call():
+        try:
+            policy.submit({"x": np.zeros(2, np.float32)}, timeout=30)
+        except RuntimeError as e:
+            errors.append(str(e))
+
+    t = threading.Thread(target=call)
+    t.start()
+    while policy._q.qsize() < 1:
+        time.sleep(0.01)
+    t0 = time.monotonic()
+    policy.stop()
+    t.join(timeout=5)
+    assert not t.is_alive()
+    assert time.monotonic() - t0 < 10  # nowhere near the 30 s timeout
+    assert errors == ["server shutting down"]
