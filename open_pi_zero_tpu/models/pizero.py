@@ -446,6 +446,26 @@ def lm_logits(params: dict, hidden: Array) -> Array:
     return out
 
 
+def sample_top_p(
+    key: Array, logits: Array, temperature: float = 1.0, top_p: float = 1.0
+) -> Array:
+    """[B, V] logits -> [B] sampled ids, matching the reference sampler
+    (run_paligemma.py:63-105: softmax(logits/T), sort descending, drop
+    tokens whose EXCLUSIVE cumulative mass exceeds top_p — the top token is
+    always kept — renormalize, multinomial). TPU-friendly formulation: the
+    kept set is expressed as a per-row logit threshold, so no scatter back
+    through the sort permutation is needed."""
+    logits = logits.astype(jnp.float32) / temperature
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    keep = (cum - sorted_probs) <= top_p  # exclusive cumsum; [..., 0] is True
+    n_keep = jnp.sum(keep, axis=-1, keepdims=True)
+    thresh = jnp.take_along_axis(sorted_logits, n_keep - 1, axis=-1)
+    filtered = jnp.where(logits >= thresh, logits, MASK_NEG)
+    return jax.random.categorical(key, filtered, axis=-1)
+
+
 def generate_text(
     params: dict,
     cfg: PiZeroConfig,
@@ -453,8 +473,14 @@ def generate_text(
     pixel_values: Array,
     max_new_tokens: Optional[int] = None,
     eos_token_id: int = 1,
+    rng: Optional[Array] = None,
+    temperature: float = 1.0,
+    top_p: float = 1.0,
 ) -> Array:
-    """Greedy decoding with a static-size cache (reference pizero.py:770-791).
+    """Text decoding with a static-size cache (reference pizero.py:770-791).
+    Greedy by default; pass `rng` for temperature/top-p sampling (the
+    reference's do_sample path, run_paligemma.py:39-105 — per-step keys are
+    fold_in(rng, step), so a fixed key reproduces the sequence exactly).
     Returns [B, max_new_tokens]; positions after EOS hold the pad id."""
     max_new = max_new_tokens or cfg.max_decode_tokens
     embeds = embed_image_text(params, cfg, input_ids, pixel_values)
@@ -470,7 +496,15 @@ def generate_text(
     hidden, cache = joint_lib.joint_text_forward(
         params["joint"], cfg.joint, embeds, positions, prefill_mask, cache, 0
     )
-    next_tok = jnp.argmax(lm_logits(params, hidden[:, -1:, :]), axis=-1)  # [B, 1]
+
+    def pick(logits_1, i):
+        """[B, 1, V] -> [B, 1] next token (greedy or top-p sampled)."""
+        if rng is None:
+            return jnp.argmax(logits_1, axis=-1)
+        key = jax.random.fold_in(rng, i)
+        return sample_top_p(key, logits_1[:, -1, :], temperature, top_p)[:, None]
+
+    next_tok = pick(lm_logits(params, hidden[:, -1:, :]), 0)  # [B, 1]
 
     def step(carry, i):
         cache, tok, done = carry
@@ -485,7 +519,7 @@ def generate_text(
         hidden, cache = joint_lib.joint_text_forward(
             params["joint"], cfg.joint, emb, pos, mask, cache, s + i
         )
-        nxt = jnp.argmax(lm_logits(params, hidden), axis=-1)  # [B, 1]
+        nxt = pick(lm_logits(params, hidden), i + 1)  # [B, 1]
         out_tok = jnp.where(done, cfg.pad_token_id, tok[:, 0])  # [B]
         done = done | (tok[:, 0] == eos_token_id)
         return (cache, nxt, done), out_tok

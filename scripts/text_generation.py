@@ -26,6 +26,11 @@ def main():
     parser.add_argument("--prompt", default="this image shows ")
     parser.add_argument("--max_new_tokens", type=int, default=20)
     parser.add_argument("--bf16", action="store_true")
+    # sampling (reference run_paligemma.py defaults: T=0.8, top_p=0.9)
+    parser.add_argument("--do_sample", action="store_true")
+    parser.add_argument("--temperature", type=float, default=0.8)
+    parser.add_argument("--top_p", type=float, default=0.9)
+    parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
     import jax
@@ -56,9 +61,18 @@ def main():
     )
     inputs = proc([args.prompt], [Image.open(args.image).convert("RGB")])
 
+    sample_kw = (
+        dict(
+            rng=jax.random.key(args.seed),
+            temperature=args.temperature,
+            top_p=args.top_p,
+        )
+        if args.do_sample
+        else {}
+    )
     gen = jax.jit(
         lambda p, ids, pix: pizero.generate_text(
-            p, cfg, ids, pix, max_new_tokens=args.max_new_tokens
+            p, cfg, ids, pix, max_new_tokens=args.max_new_tokens, **sample_kw
         )
     )
     ids = jnp.asarray(inputs["input_ids"])

@@ -144,6 +144,42 @@ class TestTextGeneration:
         toks2 = pizero.generate_text(params, cfg, ids, img, max_new_tokens=5)
         np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks2))
 
+    def test_sampled_decode_reproducible_and_top_p_limits(self, cfg, params, batch):
+        """Fixed key -> identical sampled sequence (per-step fold_in keys);
+        top_p -> 0 collapses to greedy (only the top token survives the
+        exclusive-cumsum filter). Reference: run_paligemma.py:39-105."""
+        ids, img, _, _ = batch
+        kw = dict(max_new_tokens=5, rng=jax.random.key(11), temperature=0.8,
+                  top_p=0.9)
+        a = np.asarray(pizero.generate_text(params, cfg, ids, img, **kw))
+        b = np.asarray(pizero.generate_text(params, cfg, ids, img, **kw))
+        np.testing.assert_array_equal(a, b)
+        assert a.shape == (2, 5)
+        greedy = np.asarray(
+            pizero.generate_text(params, cfg, ids, img, max_new_tokens=5)
+        )
+        tiny_p = np.asarray(
+            pizero.generate_text(
+                params, cfg, ids, img, max_new_tokens=5,
+                rng=jax.random.key(3), temperature=0.8, top_p=1e-6,
+            )
+        )
+        np.testing.assert_array_equal(tiny_p, greedy)
+
+    def test_sample_top_p_support_and_frequencies(self):
+        """Hand-made distribution: probs (.5, .3, .15, .05), top_p=0.6 keeps
+        exactly {0, 1} (exclusive cumulative mass 0 and .5), renormalized to
+        (.625, .375) — matching the reference's _sample_top_p semantics."""
+        probs = jnp.array([0.5, 0.3, 0.15, 0.05])
+        logits = jnp.log(probs)[None].repeat(4000, 0)
+        toks = np.asarray(
+            pizero.sample_top_p(jax.random.key(0), logits, 1.0, 0.6)
+        )
+        counts = np.bincount(toks, minlength=4)
+        assert counts[2] == 0 and counts[3] == 0
+        f0 = counts[0] / counts.sum()
+        assert abs(f0 - 0.625) < 0.03
+
     def test_first_decode_token_matches_prefill_logits(self, cfg, params, batch):
         """greedy argmax of the prefill's last-position logits must equal the
         first generated token (cache-correctness of the text path)."""
