@@ -128,19 +128,20 @@ def _our_config():
     )
 
 
-@pytest.fixture(scope="module")
-def models():
-    _install_stubs()
-    import torch
-
+def build_ref_cfg(lm_head: bool = False):
+    """Reference PiZero ConfigDict at the shared tiny geometry (lm_head=True
+    additionally enables the vlm final norm + tied lm head, the text path)."""
     from open_pi_zero_tpu.config import ConfigDict
-    from open_pi_zero_tpu.models import convert
-    from src.model.vla.pizero import PiZero
 
-    cfg_ref = ConfigDict(
+    mix = {k: dict(v) for k, v in MIX.items()}
+    if lm_head:
+        mix["vlm"]["use_final_norm"] = True
+    extra = {"use_lm_head": True} if lm_head else {}
+    return ConfigDict(
         {
             **GEOM,
-            "mixture": {k: ConfigDict(v) for k, v in MIX.items()},
+            **extra,
+            "mixture": {k: ConfigDict(v) for k, v in mix.items()},
             "vision": {
                 "_target_": "src.model.paligemma.siglip.SiglipVisionModel",
                 "config": ConfigDict({**VIS, "lora": None}),
@@ -158,20 +159,53 @@ def models():
                 "_target_": "src.model.vla.joint_model.JointModel",
                 "config": ConfigDict(
                     {**JOINT, "time_hidden_size": GEOM["time_hidden_size"],
-                     "mixture": {k: ConfigDict(v) for k, v in MIX.items()}}
+                     "mixture": {k: ConfigDict(v) for k, v in mix.items()}}
                 ),
             },
         }
     )
-    torch.manual_seed(0)
-    ref = PiZero(cfg_ref)
+
+
+def build_our_cfg(lm_head: bool = False):
+    base = _our_config()
+    if not lm_head:
+        return base
+    from open_pi_zero_tpu.config import dataclass_replace
+
+    mixtures = tuple(
+        dataclass_replace(m, use_final_norm=True) if i == 0 else m
+        for i, m in enumerate(base.joint.mixtures)
+    )
+    return dataclass_replace(
+        base, use_lm_head=True,
+        joint=dataclass_replace(base.joint, mixtures=mixtures),
+    )
+
+
+def build_models(seed: int = 0, lm_head: bool = False):
+    """(torch reference PiZero, our config, converted params) at tiny
+    geometry — shared by the parity tests and scripts/verify_checkpoint.py's
+    --self-test mode."""
+    _install_stubs()
+    import torch
+
+    from open_pi_zero_tpu.models import convert
+    from src.model.vla.pizero import PiZero
+
+    torch.manual_seed(seed)
+    ref = PiZero(build_ref_cfg(lm_head))
     ref.eval()
 
-    our_cfg = _our_config()
+    our_cfg = build_our_cfg(lm_head)
     params = convert.convert_vla_state_dict(
         {k: v for k, v in ref.state_dict().items()}, our_cfg
     )
     return ref, our_cfg, params
+
+
+@pytest.fixture(scope="module")
+def models():
+    return build_models()
 
 
 def _inputs():
@@ -308,59 +342,13 @@ def test_infer_text_logits_parity():
     norm) vs the reference infer_text prefill (pizero.py:559-593): full
     logits must match, and our greedy first token must equal the
     reference's argmax continuation."""
-    _install_stubs()
     import jax
     import jax.numpy as jnp
     import torch
 
-    from open_pi_zero_tpu.config import ConfigDict, dataclass_replace
-    from open_pi_zero_tpu.models import convert
     from open_pi_zero_tpu.models import pizero as ours
-    from src.model.vla.pizero import PiZero
 
-    mix = {k: dict(v) for k, v in MIX.items()}
-    mix["vlm"]["use_final_norm"] = True
-    cfg_ref = ConfigDict(
-        {
-            **GEOM,
-            "use_lm_head": True,
-            "mixture": {k: ConfigDict(v) for k, v in mix.items()},
-            "vision": {
-                "_target_": "src.model.paligemma.siglip.SiglipVisionModel",
-                "config": ConfigDict({**VIS, "lora": None}),
-            },
-            "vision_projector": {
-                "_target_": "src.model.paligemma.siglip.PaliGemmaMultiModalProjector",
-                "config": ConfigDict(
-                    {"vision_config": ConfigDict(
-                        {"hidden_size": VIS["hidden_size"],
-                         "projection_dim": MIX["vlm"]["hidden_size"]}
-                    )}
-                ),
-            },
-            "joint": {
-                "_target_": "src.model.vla.joint_model.JointModel",
-                "config": ConfigDict(
-                    {**JOINT, "time_hidden_size": GEOM["time_hidden_size"],
-                     "mixture": {k: ConfigDict(v) for k, v in mix.items()}}
-                ),
-            },
-        }
-    )
-    torch.manual_seed(3)
-    ref = PiZero(cfg_ref)
-    ref.eval()
-
-    base = _our_config()
-    mixtures = tuple(
-        dataclass_replace(m, use_final_norm=True) if i == 0 else m
-        for i, m in enumerate(base.joint.mixtures)
-    )
-    cfg = dataclass_replace(
-        base, use_lm_head=True,
-        joint=dataclass_replace(base.joint, mixtures=mixtures),
-    )
-    params = convert.convert_vla_state_dict(dict(ref.state_dict()), cfg)
+    ref, cfg, params = build_models(seed=3, lm_head=True)
 
     rng = np.random.default_rng(9)
     n_img = VIS["num_image_tokens"]

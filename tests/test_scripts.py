@@ -50,3 +50,15 @@ def test_check_simpler_reports_missing_env():
     # nonzero with a clear message (and run fine where it is installed)
     if r.returncode != 0:
         assert "simpler_env is not installed" in (r.stdout + r.stderr)
+
+
+@pytest.mark.slow
+def test_verify_checkpoint_self_test():
+    """The checkpoint-arrival readiness harness must run its whole chain
+    (load -> textgen -> parity -> oracle -> drift -> episodes[SKIP])
+    against the in-process torch reference."""
+    r = _run(["scripts/verify_checkpoint.py", "--self-test"], timeout=900)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "ALL STAGES PASSED" in r.stdout
+    for stage in ("load", "textgen", "parity", "oracle", "drift"):
+        assert f"[{stage:9s}] PASS" in r.stdout, r.stdout
