@@ -129,7 +129,7 @@ class EvalAgent:
         if bool(self.cfg.get("quantize", True)):
             mixes = tuple(self.cfg.get("quantize_mixtures", ("action",)))
             bits = int(self.cfg.get("quantize_bits", 8))  # 8=int8, 4=4-bit
-            code = str(self.cfg.get("quantize_code", "nf4"))  # nf4|int4k
+            code = str(self.cfg.get("quantize_code", "nf4"))  # nf4 only
             w8a8 = bool(self.cfg.get("w8a8", True))
             params = fuse.prepare_for_serving(
                 params,

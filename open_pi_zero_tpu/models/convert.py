@@ -323,7 +323,7 @@ def to_dtype(params: dict, dtype) -> dict:
 
     def walk(t):
         if isinstance(t, dict):
-            if {"q4", "q4k", "qa"} & set(t) or (
+            if {"q4", "qa"} & set(t) or (
                 "scale" in t and "q" in t and not isinstance(t["q"], dict)
             ):
                 return t

@@ -34,7 +34,7 @@ def _assert_fusable(d: dict, names):
                 "cannot fuse projections with live LoRA adapters — apply "
                 "ops.lora.merge_lora first"
             )
-        if isinstance(d.get(n), dict) and ({"q", "qa", "q4", "q4k"} & set(d.get(n, {}))):
+        if isinstance(d.get(n), dict) and ({"q", "qa", "q4"} & set(d.get(n, {}))):
             raise ValueError(
                 "cannot fuse quantized bases — fusion is for the "
                 "float serving path (fuse first, then quantize)"
@@ -83,6 +83,7 @@ def prepare_for_serving(
     w8a8_mixtures=(),
     w8a8_siglip: bool = False,
     w8a8_keys=None,
+    mse_scale: bool = False,
 ) -> dict:
     """Full serving-layout pipeline: fuse qkv/gate+up, then (optionally)
     quantize. Tiers (reference bnb get_layer factory, lora.py:83-100):
@@ -90,9 +91,10 @@ def prepare_for_serving(
       quantize_mixtures + bits=8        weight-only int8 per channel — the
           streaming tier for the Euler-loop expert (its weights stream 10x
           per chunk)
-      quantize_mixtures + bits=4        blockwise 4-bit, `code`="nf4"
-          (bnb Linear4bit memory tier; infer_action decodes it once per
-          call to int8) or "int4k" (Pallas fused-dequant, opt-in kernel)
+      quantize_mixtures + bits=4        blockwise NF4 (bnb Linear4bit
+          memory tier; infer_action decodes it once per call to int8 —
+          the only 4-bit serving path: a fused Pallas int4 kernel was
+          measured VPU-bound on v5e and removed)
       w8a8_mixtures / w8a8_siglip       W8A8: dynamic per-token activation
           quantization + native int8 x int8 MXU dots — the compute tier
           for the prefill towers, which run once per chunk and are
@@ -117,7 +119,7 @@ def prepare_for_serving(
         for m in quantize_mixtures:
             if m in mixtures:  # "proprio" is absent when tied to "action"
                 mixtures[m] = lora_lib.quantize_base_weights(
-                    mixtures[m], bits=bits, code=code
+                    mixtures[m], bits=bits, code=code, mse_scale=mse_scale
                 )
         for m in w8a8_mixtures:
             if m in mixtures:
@@ -125,6 +127,7 @@ def prepare_for_serving(
                     mixtures[m],
                     keys=w8a8_keys or lora_lib.QUANTIZE_KEYS,
                     w8a8=True,
+                    mse_scale=mse_scale,
                 )
         joint["mixtures"] = mixtures
         params = {**params, "joint": joint}
@@ -134,7 +137,7 @@ def prepare_for_serving(
         # multimodal projector stay float (negligible FLOPs, image-boundary
         # numerics)
         sig["layers"] = lora_lib.quantize_base_weights(
-            sig["layers"], keys=("kernel",), w8a8=True
+            sig["layers"], keys=("kernel",), w8a8=True, mse_scale=mse_scale
         )
         params = {**params, "siglip": sig}
     return params
@@ -150,6 +153,7 @@ def build_serving_params(
     w8a8_mixtures=(),
     w8a8_siglip: bool = False,
     w8a8_keys=None,
+    mse_scale: bool = False,
     log_memory: bool = False,
 ) -> dict:
     """Streaming, OOM-proof equivalent of
@@ -207,10 +211,13 @@ def build_serving_params(
         p = mx.init_mixture_params(k, cfg.joint, cfg.joint.mixture(n), dtype)
         p = {**p, "layers": fuse_mixture_layers(p["layers"])}
         if n in quantize_mixtures:
-            q = lora_lib.quantize_base_weights(p, bits=bits, code=code)
+            q = lora_lib.quantize_base_weights(
+                p, bits=bits, code=code, mse_scale=mse_scale
+            )
         elif n in w8a8_mixtures:
             q = lora_lib.quantize_base_weights(
-                p, keys=w8a8_keys or lora_lib.QUANTIZE_KEYS, w8a8=True
+                p, keys=w8a8_keys or lora_lib.QUANTIZE_KEYS, w8a8=True,
+                mse_scale=mse_scale,
             )
         else:
             q = p
@@ -226,7 +233,7 @@ def build_serving_params(
         sig = {
             **sig,
             "layers": lora_lib.quantize_base_weights(
-                sig["layers"], keys=("kernel",), w8a8=True
+                sig["layers"], keys=("kernel",), w8a8=True, mse_scale=mse_scale
             ),
         }
     gc.collect()

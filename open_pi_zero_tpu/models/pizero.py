@@ -189,25 +189,18 @@ def _requant_int8(w: Array) -> dict:
 
 
 def _hoist_4bit(tree):
-    """Replace every 4-bit leaf-dict (NF4 {q4, absmax} or int4k
-    {q4k, kscale}) with a decode-once int8 copy (no-op for float / int8 /
-    W8A8 trees). The at-rest/checkpoint footprint stays 4-bit; inside the
-    call the Euler steps stream int8 (decoding inside the loop instead
-    was measured at one full decode per step — see infer_action)."""
+    """Replace every NF4 leaf-dict {q4, absmax} with a decode-once int8
+    copy (no-op for float / int8 / W8A8 trees). The at-rest/checkpoint
+    footprint stays 4-bit; inside the call the Euler steps stream int8
+    (decoding inside the loop instead was measured at one full decode per
+    step — see infer_action). This decode-once path is the only 4-bit
+    serving tier: a fused Pallas int4 dequant-matmul was measured
+    VPU/relayout-bound on v5e and removed."""
     if isinstance(tree, dict):
         if "q4" in tree and "absmax" in tree:
             from open_pi_zero_tpu.ops.quantization import dequantize_kernel_nf4
 
             return _requant_int8(dequantize_kernel_nf4(tree))
-        if "q4k" in tree and "kscale" in tree:
-            from open_pi_zero_tpu.ops.pallas_int4 import (
-                dequantize_kernel_int4k,
-                int4_kernel_enabled,
-            )
-
-            if int4_kernel_enabled():
-                return tree  # fused Pallas dequant-matmul streams 4-bit
-            return _requant_int8(dequantize_kernel_int4k(tree))
         return {k: _hoist_4bit(v) for k, v in tree.items()}
     return tree
 
@@ -227,7 +220,7 @@ def infer_action(
     """
     dtype = pixel_values.dtype
     b = input_ids.shape[0]
-    # 4-bit tiers (NF4 / int4k): decode ONCE per call to a weight-only
+    # 4-bit tier (NF4): decode ONCE per call to a weight-only
     # int8 copy, outside the Euler loop. The at-rest/checkpoint footprint
     # stays 4-bit; the steps stream int8 (decoding inline re-ran the
     # codebook decode every Euler step — 88.7 ms; a bf16 hoist without an

@@ -49,7 +49,7 @@ def linear(x: jax.Array, kernel, bias: Optional[jax.Array] = None) -> jax.Array:
         raise ValueError(
             f"unsupported quantized kernel format {sorted(kernel)} — linear() "
             "handles {q4, absmax} NF4, {q, scale} weight-only int8 and "
-            "{qa, scale} W8A8 (int4k kernels go through ops.lora.base_matmul)"
+            "{qa, scale} W8A8"
         )
     else:
         out = jnp.einsum(

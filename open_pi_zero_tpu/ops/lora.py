@@ -72,17 +72,13 @@ def base_matmul(x: jax.Array, w, spec: str = "...i,io->...o") -> jax.Array:
       {q4, absmax} blockwise NF4 (bnb Linear4bit) — dequantized to the
                    activation dtype before the matmul (a memory tier; the
                    serving path hoists this dequant out of the Euler loop,
-                   models/pizero.py).
-      {q4k, kscale} k-packed linear int4 — Pallas fused dequant-matmul
-                   (ops/pallas_int4.py, opt-in OPZ_INT4_KERNEL=1: measured
-                   VPU-bound on v5e, so serving normally decodes 4-bit to
-                   int8 once per call instead — pizero._hoist_4bit);
-                   XLA dequant-then-einsum fallback otherwise.
+                   models/pizero.py). This is the ONLY 4-bit tier: a fused
+                   Pallas int4 dequant-matmul was built and measured
+                   VPU/relayout-bound on v5e (Mosaic cannot shift int8
+                   vectors; the int8->int32 unpack is a 4x-widening
+                   relayout), losing to this decode-once path at every
+                   geometry tried, and was removed.
     """
-    if isinstance(w, dict) and "q4k" in w:
-        from open_pi_zero_tpu.ops.pallas_int4 import int4k_matmul
-
-        return int4k_matmul(x, w)
     if isinstance(w, dict) and "q4" in w:
         return jnp.einsum(
             spec, x, dequantize_kernel_nf4(w, x.dtype),
@@ -163,13 +159,7 @@ def merge_lora(params, scaling: float = 1.0):
                     )
                     out[k] = {**base, "kernel": merged}
                     continue
-                if isinstance(base, dict) and "q4k" in base:
-                    from open_pi_zero_tpu.ops.pallas_int4 import (
-                        dequantize_kernel_int4k,
-                    )
-
-                    base = dequantize_kernel_int4k(base)
-                elif isinstance(base, dict) and "q4" in base:
+                if isinstance(base, dict) and "q4" in base:
                     base = dequantize_kernel_nf4(base)
                 elif isinstance(base, dict) and ("q" in base or "qa" in base):
                     payload = base["q"] if "q" in base else base["qa"]
@@ -200,13 +190,13 @@ def quantize_base_weights(
     bits: int = 8,
     w8a8: bool = False,
     code: str = "nf4",
+    mse_scale: bool = False,
 ):
     """Replace matching 2-D/3-D float kernels with quantized dicts: int8 ->
     {q, scale} per output channel; 4 -> blockwise 4-bit, `code` selecting
     "nf4" {q4, absmax} (the bnb Linear4bit memory tier, reference
-    lora.py:83-100) or "int4k" {q4k, kscale} (the Pallas fused-dequant
-    latency tier, ops/pallas_int4.py). Stacked [L, in, out] kernels
-    quantize per-layer. Apply AFTER loading pretrained weights.
+    lora.py:83-100). Stacked [L, in, out] kernels quantize per-layer.
+    Apply AFTER loading pretrained weights.
 
     w8a8=True stores the int8 payload under "qa" instead of "q", which makes
     base_matmul ALSO quantize the activations per token and run a native
@@ -214,20 +204,20 @@ def quantize_base_weights(
     (prefill / SigLIP). Only valid with bits=8."""
     assert bits in (8, 4), f"bits must be 8 or 4, got {bits}"
     assert not (w8a8 and bits == 4), "w8a8 is an int8 tier"
-    assert code in ("nf4", "int4k"), f"unknown 4-bit code {code!r}"
+    assert code == "nf4", (
+        f"unknown 4-bit code {code!r} (int4k was removed: the Pallas "
+        "fused-dequant kernel measured VPU-bound on v5e, strictly slower "
+        "than the NF4 decode-once path)"
+    )
     payload = "qa" if w8a8 else "q"
 
     def q(w):
         if bits == 4:
-            if code == "int4k":
-                from open_pi_zero_tpu.ops.pallas_int4 import quantize_kernel_int4k
-
-                return quantize_kernel_int4k(w)
             return quantize_kernel_nf4(w)
         if w.ndim == 2:
-            qv, s = quantize_int8_rowwise(w)
+            qv, s = quantize_int8_rowwise(w, mse_scale=mse_scale)
             return {payload: qv, "scale": s}
-        qs = [quantize_int8_rowwise(w[i]) for i in range(w.shape[0])]
+        qs = [quantize_int8_rowwise(w[i], mse_scale=mse_scale) for i in range(w.shape[0])]
         return {
             payload: jnp.stack([x[0] for x in qs]),
             "scale": jnp.stack([x[1] for x in qs]),
@@ -236,7 +226,7 @@ def quantize_base_weights(
     def walk(d):
         if not isinstance(d, dict):
             return d
-        if ("q4" in d and "absmax" in d) or ("q4k" in d and "kscale" in d):
+        if "q4" in d and "absmax" in d:
             return d  # already quantized — idempotent
         if "scale" in d and ("qa" in d or ("q" in d and not isinstance(d["q"], dict))):
             return d  # already quantized — idempotent
@@ -253,12 +243,12 @@ def quantize_base_weights(
 
 def is_quantized_base(d) -> bool:
     """True if `d` is a single quantized-kernel payload dict ({q4, absmax}
-    NF4, {q4k, kscale} int4, {q|qa, scale} int8). The `"q" is not a dict`
-    guard distinguishes an int8-quantized payload from an attention dict
-    whose q/k/v kernels are themselves quantized dicts."""
+    NF4, {q|qa, scale} int8). The `"q" is not a dict` guard distinguishes
+    an int8-quantized payload from an attention dict whose q/k/v kernels
+    are themselves quantized dicts."""
     if not isinstance(d, dict):
         return False
-    if ("q4" in d and "absmax" in d) or ("q4k" in d and "kscale" in d):
+    if "q4" in d and "absmax" in d:
         return True
     return "scale" in d and (
         "qa" in d or ("q" in d and not isinstance(d["q"], dict))
@@ -268,7 +258,7 @@ def is_quantized_base(d) -> bool:
 def has_quantized_bases(tree) -> bool:
     """True if any quantized base dict remains in the tree."""
     if isinstance(tree, dict):
-        if {"q4", "q4k", "qa"} & set(tree):
+        if {"q4", "qa"} & set(tree):
             return True
         if "scale" in tree and "q" in tree and not isinstance(tree["q"], dict):
             return True
@@ -277,8 +267,8 @@ def has_quantized_bases(tree) -> bool:
 
 
 def dequantize_base_weights(tree, dtype=jnp.float32):
-    """Replace every quantized base dict ({q4, absmax} NF4, {q4k, kscale}
-    int4, {q|qa, scale} int8) with its float kernel in `dtype` — the
+    """Replace every quantized base dict ({q4, absmax} NF4,
+    {q|qa, scale} int8) with its float kernel in `dtype` — the
     inverse walk of quantize_base_weights, used when a quantized-base
     checkpoint must be served through transforms that require float
     kernels (fusion). Pass bf16 at 3B scale to halve the decoded
@@ -286,10 +276,6 @@ def dequantize_base_weights(tree, dtype=jnp.float32):
     if isinstance(tree, dict):
         if "q4" in tree and "absmax" in tree:
             return dequantize_kernel_nf4(tree, dtype)
-        if "q4k" in tree and "kscale" in tree:
-            from open_pi_zero_tpu.ops.pallas_int4 import dequantize_kernel_int4k
-
-            return dequantize_kernel_int4k(tree, dtype)
         if "scale" in tree and (
             "qa" in tree or ("q" in tree and not isinstance(tree["q"], dict))
         ):

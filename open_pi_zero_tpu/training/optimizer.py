@@ -113,7 +113,7 @@ def param_labels(params: dict, train_vlm: bool = True, lora: bool = False) -> di
     }
 
     def label_tree(subtree, label):
-        # Quantized base dicts ({q4, absmax} / {q|qa, scale} / {q4k, kscale})
+        # Quantized base dicts ({q4, absmax} / {q|qa, scale})
         # are ALWAYS frozen, lora flag or not: the reference keeps
         # bnb-quantized modules fully frozen (train.py:90-93 "fully
         # frozen"). Without this, quantize=true + lora=false would give the

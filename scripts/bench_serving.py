@@ -52,13 +52,6 @@ def main():
         "int8_expert": dict(quantize_mixtures=("action",)),
         "int8_joint": dict(quantize_mixtures=("vlm", "action")),
         "nf4_expert": dict(quantize_mixtures=("action",), bits=4),
-        # Pallas fused dequant-matmul: true 4-bit weight streaming in the
-        # Euler loop (ops/pallas_int4.py)
-        "int4k_expert": dict(quantize_mixtures=("action",), bits=4, code="int4k"),
-        "int4k_expert_w8a8": dict(
-            quantize_mixtures=("action",), bits=4, code="int4k",
-            w8a8_mixtures=("vlm",), w8a8_siglip=True,
-        ),
         # W8A8 compute tier: native int8 x int8 MXU dots on the prefill
         # towers (weights AND dynamically-quantized activations), int8
         # weight-only on the Euler-loop expert

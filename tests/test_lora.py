@@ -330,113 +330,6 @@ def test_nf4_model_inference_close_to_float():
 
 
 # --------------------------------------------------------------------------- #
-# int4k latency tier (Pallas fused dequant-matmul, ops/pallas_int4.py)
-# --------------------------------------------------------------------------- #
-
-from open_pi_zero_tpu.ops import pallas_int4 as i4
-
-
-def test_int4k_roundtrip_accuracy_and_layout():
-    rng = np.random.default_rng(0)
-    w = jnp.asarray(rng.normal(size=(3, 128, 256)).astype(np.float32))
-    d = i4.quantize_kernel_int4k(w)
-    assert d["q4k"].shape == (3, 64, 256) and d["q4k"].dtype == jnp.int8
-    assert d["kscale"].shape == (3, 2, 256)  # K=128, block 64
-    back = i4.dequantize_kernel_int4k(d)
-    err = float(jnp.mean(jnp.abs(back - w))) / float(jnp.mean(jnp.abs(w)))
-    # blockwise absmax int4 on N(0,1): ~12% relative L1 (NF4 is ~2x better;
-    # this tier trades that for fused-kernel streaming latency)
-    assert err < 0.15, f"relative dequant error {err}"
-    # exact code points survive: w = q * scale with q in [-8, 7]
-    scale = 0.37
-    wq = jnp.asarray(rng.integers(-7, 8, size=(64, 128)).astype(np.float32)) * scale
-    d2 = i4.quantize_kernel_int4k(wq)
-    np.testing.assert_allclose(
-        np.asarray(i4.dequantize_kernel_int4k(d2)), np.asarray(wq), rtol=1e-5
-    )
-
-
-def test_int4k_kernel_matches_fallback():
-    """Pallas kernel (interpret mode on CPU) == dequant-then-einsum."""
-    rng = np.random.default_rng(1)
-    w = jnp.asarray(rng.normal(size=(256, 384)).astype(np.float32))
-    x = jnp.asarray(rng.normal(size=(2, 3, 256)).astype(np.float32), jnp.bfloat16)
-    d = i4.quantize_kernel_int4k(w)
-    want = jnp.einsum(
-        "...i,io->...o", x, i4.dequantize_kernel_int4k(d, jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )
-    got = i4._int4k_matmul_2d(x.reshape(-1, 256), d, interpret=True).reshape(2, 3, -1)
-    # kernel applies bf16-rounded scales in VMEM; fallback dequantizes in
-    # f32 — ~1e-3 relative noise on O(10) outputs is inherent
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=0.2)
-
-
-def test_int4k_odd_tile_padding():
-    """N not a multiple of the lane/tile width still round-trips."""
-    rng = np.random.default_rng(2)
-    w = jnp.asarray(rng.normal(size=(128, 200)).astype(np.float32))
-    x = jnp.asarray(rng.normal(size=(5, 128)).astype(np.float32), jnp.bfloat16)
-    d = i4.quantize_kernel_int4k(w)
-    want = jnp.einsum(
-        "...i,io->...o", x, i4.dequantize_kernel_int4k(d, jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )
-    got = i4._int4k_matmul_2d(x, d, interpret=True)
-    assert got.shape == (5, 200)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=0.2)
-
-
-def test_int4k_base_matmul_and_model_inference():
-    """{q4k, kscale} flows through proj/base_matmul and the full model
-    (XLA fallback path on CPU)."""
-    rng = np.random.default_rng(3)
-    w = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
-    x = jnp.asarray(rng.normal(size=(4, 64)).astype(np.float32))
-    d = i4.quantize_kernel_int4k(w)
-    got = np.asarray(lora_lib.base_matmul(x, d))
-    want = np.asarray(x @ i4.dequantize_kernel_int4k(d))
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
-
-    from open_pi_zero_tpu.models import fuse
-
-    cfg = tiny_pizero_config()
-    params = pizero.init_params(jax.random.key(0), cfg)
-    served = fuse.prepare_for_serving(
-        params, quantize_mixtures=("action",), bits=4, code="int4k"
-    )
-    attn = served["joint"]["mixtures"]["action"]["layers"]["attn"]
-    assert "q4k" in attn["qkv"]
-    ids = jnp.zeros((1, cfg.max_image_text_tokens), jnp.int32)
-    ids = ids.at[:, : cfg.siglip.num_image_tokens].set(cfg.image_token_index)
-    am = (ids != 0).astype(jnp.int32)
-    img = jnp.zeros((1, 28, 28, 3))
-    prop = jnp.ones((1, 1, cfg.proprio_dim)) * 0.1
-    rng_j = jax.random.key(1)
-    out_f = pizero.infer_action(params, cfg, rng_j, ids, img, am, prop)
-    out_q = pizero.infer_action(served, cfg, rng_j, ids, img, am, prop)
-    assert np.isfinite(np.asarray(out_q)).all()
-    assert float(jnp.mean(jnp.abs(out_f - out_q))) < 0.15
-
-
-def test_int4k_merge_lora_dequantizes():
-    rng = np.random.default_rng(4)
-    w = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
-    tree = {
-        "q": i4.quantize_kernel_int4k(w),
-        "q_lora": {
-            "a": jnp.zeros((64, 2), jnp.float32),
-            "b": jnp.zeros((2, 128), jnp.float32),
-        },
-    }
-    merged = lora_lib.merge_lora(tree)
-    assert not isinstance(merged["q"], dict)
-    np.testing.assert_allclose(
-        np.asarray(merged["q"]), np.asarray(i4.dequantize_kernel_int4k(d := i4.quantize_kernel_int4k(w))), rtol=1e-5
-    )
-
-
-# --------------------------------------------------------------------------- #
 # SigLIP / projector LoRA (reference vision.use_lora, siglip.py:98-106,9-31;
 # freeze_non_lora_weights_in_vlm, reference pizero.py:236-248)
 # --------------------------------------------------------------------------- #
