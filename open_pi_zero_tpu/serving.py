@@ -14,9 +14,18 @@ concurrent requests:
   - one jitted `infer_action` serves the whole bucket; each caller gets
     its row.
 
-Transport is newline-delimited JSON over TCP (arrays as nested lists) —
-a reference implementation of the protocol; swap the codec for msgpack /
-grpc without touching the batching core. `scripts/serve.py` is the CLI.
+Transport: one TCP port, two codecs, auto-detected per message by the
+first byte —
+
+  - binary (default for clients): `OPZ1` magic + uint32 header length +
+    JSON header {name: {dtype, shape}} + concatenated raw array bytes.
+    Arrays ship as buffers (a 224x224x3 float32 image is 588 KB of raw
+    bytes vs ~3.5 MB of JSON digits) — the codec stops dominating the
+    model at serving rates (BENCH_SERVING_DAEMON.json).
+  - newline-delimited JSON (arrays as nested lists): debuggable with
+    netcat, kept for interop.
+
+`scripts/serve.py` is the CLI.
 """
 
 from __future__ import annotations
@@ -159,24 +168,95 @@ class BatchingPolicy:
 
 
 # --------------------------------------------------------------------------- #
-# TCP transport (newline-delimited JSON)
+# TCP transport: binary frames (default) + newline-delimited JSON (interop)
 # --------------------------------------------------------------------------- #
+
+_MAGIC = b"OPZ1"
+_INPUT_DTYPES = {
+    "input_ids": np.int32,
+    "pixel_values": np.float32,
+    "attention_mask": np.int32,
+    "proprios": np.float32,
+}
+
+
+def pack_frame(arrays: dict) -> bytes:
+    """{name: ndarray} -> OPZ1 frame: magic + u32 header length + JSON
+    header {name: {dtype, shape}} + raw array bytes in header order."""
+    header = {
+        k: {"dtype": str(v.dtype), "shape": list(v.shape)}
+        for k, v in arrays.items()
+    }
+    hb = json.dumps(header).encode()
+    parts = [_MAGIC, len(hb).to_bytes(4, "big"), hb]
+    parts += [np.ascontiguousarray(v).tobytes() for v in arrays.values()]
+    return b"".join(parts)
+
+
+def _read_exact(f, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = f.read(n - len(buf))
+        if not chunk:
+            raise EOFError("connection closed mid-frame")
+        buf += chunk
+    return buf
+
+
+def read_frame(f, first: bytes = b"") -> dict:
+    """Read one OPZ1 frame from a file-like; `first` holds magic bytes
+    already consumed by protocol sniffing."""
+    magic = first + _read_exact(f, len(_MAGIC) - len(first))
+    if magic != _MAGIC:
+        raise ValueError(f"bad frame magic {magic!r}")
+    (hlen,) = (int.from_bytes(_read_exact(f, 4), "big"),)
+    header = json.loads(_read_exact(f, hlen))
+    out = {}
+    for k, meta in header.items():
+        dt = np.dtype(meta["dtype"])
+        n = int(np.prod(meta["shape"])) if meta["shape"] else 1
+        raw = _read_exact(f, n * dt.itemsize)
+        out[k] = np.frombuffer(raw, dt).reshape(meta["shape"])
+    return out
 
 
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self):
         policy: BatchingPolicy = self.server.policy  # type: ignore[attr-defined]
-        for line in self.rfile:
-            line = line.strip()
+        while True:
+            first = self.rfile.read(1)
+            if not first:
+                return
+            if first == _MAGIC[:1]:
+                try:
+                    msg = read_frame(self.rfile, first)
+                    inputs = {
+                        k: np.asarray(msg[k], dt)
+                        for k, dt in _INPUT_DTYPES.items()
+                    }
+                    chunk = policy.submit(inputs)
+                    resp = pack_frame(
+                        {"action_chunk": np.asarray(chunk, np.float32)}
+                    )
+                except EOFError:
+                    return
+                except Exception as e:  # noqa: BLE001 — protocol error reply
+                    resp = pack_frame(
+                        {"error": np.frombuffer(
+                            f"{type(e).__name__}: {e}".encode(), np.uint8
+                        )}
+                    )
+                self.wfile.write(resp)
+                self.wfile.flush()
+                continue
+            # JSON line protocol (first byte was part of the line)
+            line = (first + self.rfile.readline()).strip()
             if not line:
                 continue
             try:
                 msg = json.loads(line)
                 inputs = {
-                    "input_ids": np.asarray(msg["input_ids"], np.int32),
-                    "pixel_values": np.asarray(msg["pixel_values"], np.float32),
-                    "attention_mask": np.asarray(msg["attention_mask"], np.int32),
-                    "proprios": np.asarray(msg["proprios"], np.float32),
+                    k: np.asarray(msg[k], dt) for k, dt in _INPUT_DTYPES.items()
                 }
                 chunk = policy.submit(inputs)
                 resp = {"action_chunk": np.asarray(chunk, np.float64).tolist()}
@@ -211,14 +291,48 @@ def serve_forever(host: str, port: int, policy: BatchingPolicy):
 
 
 def request_action(
-    host: str, port: int, inputs: dict, timeout: float = 60.0
+    host: str, port: int, inputs: dict, timeout: float = 60.0,
+    binary: bool = True,
 ) -> np.ndarray:
-    msg = {k: np.asarray(v).tolist() for k, v in inputs.items()}
+    """One observation -> one action chunk. binary=True ships arrays as
+    raw OPZ1 frames (the production codec); binary=False uses the JSON
+    line protocol."""
     with socket.create_connection((host, port), timeout=timeout) as s:
         f = s.makefile("rwb")
+        if binary:
+            f.write(pack_frame({k: np.asarray(v) for k, v in inputs.items()}))
+            f.flush()
+            resp = read_frame(f)
+            if "error" in resp:
+                raise RuntimeError(resp["error"].tobytes().decode())
+            return np.asarray(resp["action_chunk"], np.float32)
+        msg = {k: np.asarray(v).tolist() for k, v in inputs.items()}
         f.write((json.dumps(msg) + "\n").encode())
         f.flush()
         resp = json.loads(f.readline())
     if "error" in resp:
         raise RuntimeError(resp["error"])
     return np.asarray(resp["action_chunk"], np.float32)
+
+
+def open_action_connection(host: str, port: int, timeout: float = 60.0):
+    """Persistent binary connection: returns (send(inputs) -> chunk, close).
+    Reuses one socket for a robot's whole episode — connection setup is
+    off the per-step critical path (the eval loop calls act() every
+    act_steps env steps, reference eval.py:97-131)."""
+    s = socket.create_connection((host, port), timeout=timeout)
+    f = s.makefile("rwb")
+
+    def send(inputs: dict) -> np.ndarray:
+        f.write(pack_frame({k: np.asarray(v) for k, v in inputs.items()}))
+        f.flush()
+        resp = read_frame(f)
+        if "error" in resp:
+            raise RuntimeError(resp["error"].tobytes().decode())
+        return np.asarray(resp["action_chunk"], np.float32)
+
+    def close():
+        f.close()
+        s.close()
+
+    return send, close

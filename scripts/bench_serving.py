@@ -30,6 +30,9 @@ import numpy as np
 
 CHAIN = 20
 WARMUP = 5  # first executions in a fresh process run 2-3x slower
+REPEATS = 5  # chains per variant; report median/min/spread (run-to-run
+# noise on this shared chip is ~0.3-2 ms — single-run orderings between
+# close variants are meaningless, VERDICT r2 #7)
 
 
 def main():
@@ -72,9 +75,11 @@ def main():
 
     def run(**kwargs):
         dtype = jnp.float32 if kwargs.pop("_dtype", None) == "float32" else jnp.bfloat16
-        params = fuse.prepare_for_serving(
-            pizero.init_params(jax.random.key(0), cfg, dtype=dtype),
-            **kwargs,
+        # streaming build: never holds the full float tree + serving copy
+        # together (peak ~6.5 GB bf16 / ~13 GB fp32 instead of 11/24 GB —
+        # what turned the round-2 fp32 row from OOM into a number)
+        params = fuse.build_serving_params(
+            jax.random.key(0), cfg, dtype=dtype, **kwargs
         )
         img_, prop_, noise_ = (x.astype(dtype) for x in (img, prop, noise))
 
@@ -90,14 +95,16 @@ def main():
         for _ in range(WARMUP):
             x, out = jfn(params, rng, ids, img_, am, x, noise_)
         _ = np.asarray(out[0, 0, 0])
-        t0 = time.perf_counter()
-        for _ in range(CHAIN):
-            x, out = jfn(params, rng, ids, img_, am, x, noise_)
-        _ = np.asarray(out[0, 0, 0])
-        ms = (time.perf_counter() - t0) * 1e3 / CHAIN
+        times = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            for _ in range(CHAIN):
+                x, out = jfn(params, rng, ids, img_, am, x, noise_)
+            _ = np.asarray(out[0, 0, 0])
+            times.append((time.perf_counter() - t0) * 1e3 / CHAIN)
         del params, jfn
         gc.collect()
-        return ms, chunk
+        return times, chunk
 
     only = sys.argv[1:]  # optionally bench a subset: bench_serving.py name...
     base_chunk = None
@@ -106,7 +113,7 @@ def main():
             continue
         err = None
         try:
-            ms, chunk = run(**kwargs)
+            times, chunk = run(**kwargs)
         except Exception as e:  # noqa: BLE001 — a variant may not fit this chip
             err = f"{type(e).__name__}: {e}"[:200]
         if err is not None:
@@ -125,7 +132,14 @@ def main():
             base_chunk = chunk
         print(
             json.dumps(
-                {"variant": name, "ms": round(ms, 3), "drift_L1_vs_bf16": drift}
+                {
+                    "variant": name,
+                    "ms_median": round(float(np.median(times)), 3),
+                    "ms_min": round(float(np.min(times)), 3),
+                    "ms_max": round(float(np.max(times)), 3),
+                    "n": len(times),
+                    "drift_L1_vs_bf16": drift,
+                }
             ),
             flush=True,
         )

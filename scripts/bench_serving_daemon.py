@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Through-the-socket serving-daemon benchmark (VERDICT r2 #8: measure the
+daemon end-to-end via request_action with concurrent clients, not by
+calling the policy directly).
+
+Starts the production policy (bridge-scale params via the streaming
+builder, W8A8 prefill + int8 expert) behind ActionServer on localhost,
+then drives it with B concurrent persistent-connection clients for each
+B in --batches. Reports through-socket chunks/s and per-request p50/p99,
+plus a one-client JSON-vs-binary codec comparison.
+
+Caveat recorded in the artifact: this sandbox has 1 vCPU — server numpy
+stacking, client codec work and the benchmark loop share one core, so
+socket numbers here are a LOWER bound on a real host.
+
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_serving_daemon.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, nargs="+", default=[1, 4, 16])
+    ap.add_argument("--requests", type=int, default=30, help="per client")
+    ap.add_argument("--out", default="BENCH_SERVING_DAEMON.json")
+    ap.add_argument("--tiny", action="store_true", help="tiny model on CPU (CI)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.tiny:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from open_pi_zero_tpu.config import PiZeroConfig, tiny_pizero_config
+    from open_pi_zero_tpu.models import fuse, pizero
+    from open_pi_zero_tpu.serving import (
+        ActionServer,
+        BatchingPolicy,
+        open_action_connection,
+        request_action,
+    )
+
+    if args.tiny:
+        cfg = tiny_pizero_config(num_inference_steps=2)
+        params = fuse.prepare_for_serving(
+            pizero.init_params(jax.random.key(0), cfg)
+        )
+        dtype = jnp.float32
+    else:
+        cfg = PiZeroConfig()
+        params = fuse.build_serving_params(
+            jax.random.key(0), cfg, jnp.bfloat16,
+            quantize_mixtures=("action",), w8a8_mixtures=("vlm",),
+            w8a8_siglip=True,
+        )
+        dtype = jnp.bfloat16
+
+    jit_infer = jax.jit(
+        lambda p, r, i, pv, a, pr: pizero.infer_action(p, cfg, r, i, pv, a, pr)
+    )
+    rng_box = {"k": jax.random.key(1)}
+
+    def infer_fn(batch):
+        rng_box["k"], sub = jax.random.split(rng_box["k"])
+        return np.asarray(
+            jit_infer(
+                params, sub,
+                jnp.asarray(batch["input_ids"]),
+                jnp.asarray(batch["pixel_values"], dtype),
+                jnp.asarray(batch["attention_mask"]),
+                jnp.asarray(batch["proprios"], dtype),
+            )
+        )
+
+    sizes = tuple(sorted({1, *args.batches}))
+    policy = BatchingPolicy(infer_fn, batch_sizes=sizes, batch_window_ms=3)
+
+    ids = np.zeros((cfg.max_image_text_tokens,), np.int32)
+    ids[: cfg.siglip.num_image_tokens] = cfg.image_token_index
+    ids[cfg.siglip.num_image_tokens] = 2
+    obs = {
+        "input_ids": ids,
+        "pixel_values": np.zeros(
+            (cfg.siglip.image_size, cfg.siglip.image_size, 3), np.float32
+        ),
+        "attention_mask": (ids != 0).astype(np.int32),
+        "proprios": np.zeros((cfg.cond_steps, cfg.proprio_dim), np.float32),
+    }
+
+    print("warming buckets...", flush=True)
+    policy.warmup(obs)
+    policy.start()
+    srv = ActionServer(("127.0.0.1", 0), policy)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    results = {"through_socket": [], "codec": {}}
+    try:
+        # ---- codec comparison, one client, fresh connection per request
+        for binary in (True, False):
+            n = 10
+            ts = []
+            for _ in range(n):
+                t0 = time.perf_counter()
+                request_action("127.0.0.1", port, obs, binary=binary)
+                ts.append((time.perf_counter() - t0) * 1e3)
+            results["codec"]["binary" if binary else "json"] = {
+                "p50_ms": round(float(np.percentile(ts, 50)), 2),
+                "n": n,
+            }
+            print("codec", "binary" if binary else "json",
+                  results["codec"]["binary" if binary else "json"], flush=True)
+
+        # ---- concurrency sweep, persistent binary connections
+        for b in args.batches:
+            lat: list[float] = []
+            lock = threading.Lock()
+
+            def client():
+                send, close = open_action_connection("127.0.0.1", port)
+                mine = []
+                for _ in range(args.requests):
+                    t0 = time.perf_counter()
+                    send(obs)
+                    mine.append((time.perf_counter() - t0) * 1e3)
+                close()
+                with lock:
+                    lat.extend(mine)
+
+            threads = [threading.Thread(target=client) for _ in range(b)]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            wall = time.perf_counter() - t0
+            rec = {
+                "clients": b,
+                "requests": b * args.requests,
+                "chunks_per_s": round(b * args.requests / wall, 1),
+                "p50_ms": round(float(np.percentile(lat, 50)), 2),
+                "p99_ms": round(float(np.percentile(lat, 99)), 2),
+                "batches_formed": policy.n_batches,
+            }
+            results["through_socket"].append(rec)
+            print(json.dumps(rec), flush=True)
+    finally:
+        srv.shutdown()
+        policy.stop()
+
+    payload = {
+        "note": "through-socket daemon bench; 1-vCPU sandbox — server "
+                "stacking, client codecs and the loop share one core, so "
+                "these are lower bounds vs a real host",
+        "model": "tiny-cpu" if args.tiny else
+                 "bridge W8A8+int8-expert serving layout",
+        **results,
+    }
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

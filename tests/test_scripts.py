@@ -62,3 +62,20 @@ def test_verify_checkpoint_self_test():
     assert "ALL STAGES PASSED" in r.stdout
     for stage in ("load", "textgen", "parity", "oracle", "drift"):
         assert f"[{stage:9s}] PASS" in r.stdout, r.stdout
+
+
+@pytest.mark.slow
+def test_bench_serving_daemon_tiny():
+    """Through-socket daemon bench runs end-to-end on the tiny model."""
+    r = _run(
+        ["scripts/bench_serving_daemon.py", "--tiny", "--batches", "1",
+         "--requests", "3", "--out", "/tmp/opz_daemon_test.json"],
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    import json as _json
+
+    with open("/tmp/opz_daemon_test.json") as f:
+        payload = _json.load(f)
+    assert payload["through_socket"][0]["chunks_per_s"] > 0
+    assert "binary" in payload["codec"] and "json" in payload["codec"]

@@ -192,3 +192,77 @@ def test_stop_drains_pending_requests():
     assert not t.is_alive()
     assert time.monotonic() - t0 < 10  # nowhere near the 30 s timeout
     assert errors == ["server shutting down"]
+
+
+def test_pack_read_frame_roundtrip():
+    from io import BytesIO
+
+    from open_pi_zero_tpu.serving import pack_frame, read_frame
+
+    arrays = {
+        "a": np.arange(12, dtype=np.int32).reshape(3, 4),
+        "b": np.random.default_rng(0).normal(size=(2, 2, 2)).astype(np.float32),
+        "s": np.float32(3.5).reshape(()),  # scalar
+    }
+    frame = pack_frame(arrays)
+    out = read_frame(BytesIO(frame))
+    assert set(out) == set(arrays)
+    for k in arrays:
+        np.testing.assert_array_equal(out[k], arrays[k])
+        assert out[k].dtype == np.asarray(arrays[k]).dtype
+
+
+def _echo_server():
+    """Server whose infer doubles proprios (shape [B, 1, d] -> [B, 2, d])."""
+
+    def infer(batch):
+        p = batch["proprios"][:, 0, :]
+        return np.stack([p, 2 * p], axis=1)
+
+    policy = BatchingPolicy(infer, batch_sizes=(1, 4), batch_window_ms=5).start()
+    srv = ActionServer(("127.0.0.1", 0), policy)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, policy, srv.server_address[1]
+
+
+def _obs(d=3):
+    return {
+        "input_ids": np.zeros((7,), np.int32),
+        "pixel_values": np.zeros((4, 4, 3), np.float32),
+        "attention_mask": np.zeros((7,), np.int32),
+        "proprios": np.arange(d, dtype=np.float32).reshape(1, d),
+    }
+
+
+def test_binary_and_json_codecs_interop():
+    """Both codecs served on ONE port, auto-detected per message; results
+    identical."""
+    srv, policy, port = _echo_server()
+    try:
+        want = np.stack([np.arange(3), 2 * np.arange(3)]).astype(np.float32)
+        got_bin = request_action("127.0.0.1", port, _obs(), binary=True)
+        got_json = request_action("127.0.0.1", port, _obs(), binary=False)
+        np.testing.assert_allclose(got_bin, want)
+        np.testing.assert_allclose(got_json, want, atol=1e-6)
+    finally:
+        srv.shutdown()
+        policy.stop()
+
+
+def test_binary_error_reply_and_connection_survives():
+    srv, policy, port = _echo_server()
+    try:
+        from open_pi_zero_tpu.serving import open_action_connection
+
+        send, close = open_action_connection("127.0.0.1", port)
+        bad = _obs()
+        del bad["proprios"]  # missing key -> per-request error reply
+        with pytest.raises(RuntimeError, match="KeyError"):
+            send(bad)
+        # connection still usable afterwards
+        out = send(_obs())
+        assert out.shape == (2, 3)
+        close()
+    finally:
+        srv.shutdown()
+        policy.stop()
