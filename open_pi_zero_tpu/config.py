@@ -585,5 +585,29 @@ def tiny_pizero_config(**kw) -> PiZeroConfig:
     return PiZeroConfig(**defaults)
 
 
+def bridge_width_dryrun_config() -> PiZeroConfig:
+    """Full bridge WIDTHS at depth L=2: trunk 2048/16384 hidden with 8Q/1KV
+    heads of dim 256, action expert 1024/4096, SigLIP 1152/4304 — every
+    dimension that TP sharding must divide is at production size — while a
+    56px image (16 image tokens) and a 4096 vocab keep one train step
+    cheap enough for the 8-device virtual CPU mesh. Used by
+    dryrun_multichip's bridge-width phases (the tiny-geometry phases catch
+    logic bugs; these catch divisibility/sharding bugs that only appear at
+    real widths, e.g. 16384-wide MLP or 8Q/1KV GQA over tp=2)."""
+    joint = dataclasses.replace(_default_joint(), num_hidden_layers=2)
+    siglip = SiglipConfig(
+        num_hidden_layers=2,
+        image_size=56,
+        num_image_tokens=16,
+    )
+    return PiZeroConfig(
+        vocab_size=4096,
+        image_token_index=4000,
+        max_image_text_tokens=16 + 8,
+        siglip=siglip,
+        joint=joint,
+    )
+
+
 def dataclass_replace(cfg, **kw):
     return dataclasses.replace(cfg, **kw)

@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -62,6 +64,11 @@ def main():
     parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument(
+        "--workers-sweep", type=int, nargs="*", default=None,
+        help="measure frames/s at each worker count (threads for map/read); "
+             "gives the frames/s/core scaling model (VERDICT r2 #10)",
+    )
     args = parser.parse_args()
 
     import tensorflow as tf
@@ -76,28 +83,38 @@ def main():
         args.data_dir = _synthetic_dataset("/tmp/opz_bench_data")
         args.mix = "bridge"  # the synthetic fixture is bridge-shaped
 
-    cfg = ConfigDict({
-        "dataset_mix": args.mix,
-        "data_path": args.data_dir,
-        "split": "train",
-        "window_size": 1,
-        "action_horizon": 4,
-        "skip_unlabeled": True,
-        "load_proprio": True,
-        "shuffle_buffer_size": 1000,
-        "num_parallel_calls": 8,
-        "traj_transform_threads": 4,
-        "traj_read_threads": 4,
-    })
-    ds = RLDSInterleavedDataset(cfg, train=True)
-    it = ds.iterator(args.batch, shard_per_process=False)
-    next(it)  # warm up
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        next(it)
-    dt = time.perf_counter() - t0
-    fps = args.steps * args.batch / dt
-    print(f"pipeline: {fps:.0f} frames/s ({args.batch}x{args.steps} in {dt:.2f}s)")
+    def measure_fps(workers: int = 8) -> float:
+        cfg = ConfigDict({
+            "dataset_mix": args.mix,
+            "data_path": args.data_dir,
+            "split": "train",
+            "window_size": 1,
+            "action_horizon": 4,
+            "skip_unlabeled": True,
+            "load_proprio": True,
+            "shuffle_buffer_size": 1000,
+            "num_parallel_calls": workers,
+            "traj_transform_threads": max(1, workers // 2),
+            "traj_read_threads": max(1, workers // 2),
+        })
+        ds = RLDSInterleavedDataset(cfg, train=True)
+        it = ds.iterator(args.batch, shard_per_process=False)
+        next(it)  # warm up
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            next(it)
+        dt = time.perf_counter() - t0
+        return args.steps * args.batch / dt
+
+    fps = measure_fps()
+    print(f"pipeline: {fps:.0f} frames/s ({args.batch}x{args.steps})")
+
+    sweep = None
+    if args.workers_sweep is not None:
+        counts = args.workers_sweep or [1, 2, 4]
+        sweep = {w: round(measure_fps(w), 1) for w in counts}
+        for w, f in sweep.items():
+            print(f"workers={w}: {f:.0f} frames/s")
 
     # raw record ingest: tf.data vs native reader (loop the shard list a few
     # times so the small synthetic fixture gives a stable rate)
@@ -120,7 +137,7 @@ def main():
 
     import json
 
-    print(json.dumps({
+    payload = {
         "metric": "data_pipeline_frames_per_s",
         "value": round(fps, 1),
         "unit": "frames/s",
@@ -129,7 +146,22 @@ def main():
         "native_ingest_records_per_s": round(nat_rate, 1) if nat_rate else None,
         "native_vs_tf": round(nat_rate / tf_rate, 2) if nat_rate else None,
         "synthetic": bool(args.synthetic or args.data_dir.startswith("/tmp")),
-    }))
+    }
+    if sweep is not None:
+        # scaling model: on this 1-vCPU host every worker count shares one
+        # core, so frames/s/core ~= the single-worker rate; a training host
+        # must supply global_batch x steps/s frames/s, so cores_needed =
+        # global_batch * steps_per_s / frames_per_s_per_core. The reference
+        # node RAM appetite (300-400 GB, reference README.md:139) is a
+        # separate axis: our reader keeps a 1 GB ram_budget per dataset.
+        per_core = sweep[min(sweep)]
+        payload["workers_sweep_frames_per_s"] = sweep
+        payload["frames_per_s_per_core"] = per_core
+        payload["cores_for_global_batch_1024"] = {
+            f"{sps} steps/s": int(np.ceil(1024 * sps / per_core))
+            for sps in (0.25, 0.5, 1.0, 2.0)
+        }
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
