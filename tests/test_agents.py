@@ -526,8 +526,20 @@ def test_eval_agent_loads_lora_checkpoint(tmp_path, monkeypatch):
     assert isinstance(act_attn["qkv"], dict) and "q" in act_attn["qkv"]
     vlm_attn = agent.params["joint"]["mixtures"]["vlm"]["layers"]["attn"]
     assert isinstance(vlm_attn["qkv"], dict) and "qa" in vlm_attn["qkv"]
+    # ...and SigLIP stays float by default: the round-3 drift budget
+    # (DRIFT_BUDGET.json) attributes the largest drift share to the vision
+    # tower; bf16 SigLIP puts the chunk mid-band
+    sig_attn = agent.params["siglip"]["layers"]["attn"]
+    assert not isinstance(sig_attn["qkv"]["kernel"], dict)
     result = agent.run()
     assert result["n_episodes"] == 1
+
+    # explicit opt-in recovers the minimum-latency full-W8A8 tier
+    cfg_s = ConfigDict(
+        {**cfg, "w8a8_siglip": True, "log_dir": str(tmp_path / "evals")}
+    )
+    agent_s = EvalAgent(cfg_s, env=FakeEnv(), adapter=_adapter())
+    assert "qa" in agent_s.params["siglip"]["layers"]["attn"]["qkv"]["kernel"]
 
     # pure-bf16 serving: merge still happens before fusion
     cfg_b = ConfigDict({**cfg, "quantize": False, "log_dir": str(tmp_path / "evalb")})
@@ -676,3 +688,4 @@ def test_eval_agent_loads_qlora_checkpoint(tmp_path, monkeypatch):
     assert isinstance(act_attn["qkv"], dict) and "q" in act_attn["qkv"]
     result = agent.run()
     assert result["n_episodes"] == 1
+

@@ -222,3 +222,27 @@ class TestCheckpoint:
         save_params(str(tmp_path / "f"), fparams)
         assert not (tmp_path / "f" / "meta.json").exists()
         restore_params(str(tmp_path / "f"), fparams)
+
+
+def test_bridge_width_dryrun_config_geometry():
+    """The dryrun config must hold every production WIDTH (that is its
+    point — catching TP-divisibility bugs) while shrinking depth/seq."""
+    from open_pi_zero_tpu.config import PiZeroConfig, bridge_width_dryrun_config
+
+    full, c = PiZeroConfig(), bridge_width_dryrun_config()
+    assert c.joint.num_hidden_layers == 2 and c.siglip.num_hidden_layers == 2
+    for name in ("vlm", "action"):
+        assert c.joint.mixture(name).hidden_size == full.joint.mixture(name).hidden_size
+        assert (
+            c.joint.mixture(name).intermediate_size
+            == full.joint.mixture(name).intermediate_size
+        )
+    assert c.joint.num_attention_heads == full.joint.num_attention_heads == 8
+    assert c.joint.num_key_value_heads == full.joint.num_key_value_heads == 1
+    assert c.joint.head_dim == full.joint.head_dim == 256
+    assert c.siglip.hidden_size == full.siglip.hidden_size == 1152
+    assert c.siglip.intermediate_size == full.siglip.intermediate_size
+    # shrunk axes
+    assert c.siglip.num_image_tokens == 16
+    assert c.vocab_size < 10000 and c.image_token_index < c.vocab_size
+    assert (c.siglip.image_size // c.siglip.patch_size) ** 2 == c.siglip.num_image_tokens

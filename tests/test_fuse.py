@@ -192,3 +192,21 @@ def test_build_serving_params_bf16_plain(setup):
     got = fuse.build_serving_params(jax.random.key(3), cfg, jnp.bfloat16)
     for w, g in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
         np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+
+def test_default_serving_layout_keeps_siglip_bf16(setup):
+    """Round-3 drift budget (DRIFT_BUDGET.json): SigLIP W8A8 alone
+    contributes 2.6e-3 L1 — the largest share — so the production default
+    (EvalAgent, entry()) quantizes the VLM trunk + expert but leaves the
+    vision tower bf16, landing mid-band (~1.4e-3). This pins the layout."""
+    cfg, params, *_ = setup
+    served = fuse.prepare_for_serving(
+        params, quantize_mixtures=("action",), w8a8_mixtures=("vlm",),
+        w8a8_siglip=False,
+    )
+    vlm_attn = served["joint"]["mixtures"]["vlm"]["layers"]["attn"]
+    assert isinstance(vlm_attn["qkv"], dict) and "qa" in vlm_attn["qkv"]
+    act_attn = served["joint"]["mixtures"]["action"]["layers"]["attn"]
+    assert isinstance(act_attn["qkv"], dict) and "q" in act_attn["qkv"]
+    sig_attn = served["siglip"]["layers"]["attn"]
+    assert not isinstance(sig_attn["qkv"]["kernel"], dict)  # bf16 tower
