@@ -309,6 +309,13 @@ class PiZeroConfig:
     action_expert_adaptive_mode: Optional[str] = None
     use_lm_head: bool = False
     max_decode_tokens: int = 64  # static text-generation KV budget
+    # Euler-loop unroll factor for infer_action: None = full unroll (the
+    # serving default — lets XLA software-pipeline the expert's weight
+    # streaming across steps, ~0.9 ms/chunk on v5e); 1 = rolled lax.scan —
+    # a ~10x smaller executable, needed where the compiler itself is the
+    # constraint (the fp32 single-chip recipe: the axon remote compiler
+    # dies on the fully-unrolled fp32 graph)
+    euler_unroll: Optional[int] = None
     siglip: SiglipConfig = field(default_factory=SiglipConfig)
     joint: JointConfig = field(default_factory=lambda: _default_joint())
 

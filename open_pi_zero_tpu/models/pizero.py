@@ -280,7 +280,7 @@ def infer_action(
         (action0, t0),
         None,
         length=cfg.num_inference_steps,
-        unroll=cfg.num_inference_steps,
+        unroll=cfg.euler_unroll or cfg.num_inference_steps,
     )
     if cfg.final_action_clip_value is not None:
         action = jnp.clip(

@@ -65,27 +65,33 @@ def main():
             quantize_mixtures=("action",), w8a8_mixtures=("vlm",), w8a8_siglip=True
         ),
         # fp32: the reference's fp32+compile row (89 ms / 13.6 GB on a
-        # 24 GB 4090, reference README.md:76-78). Measured on one 16 GB
-        # v5e: RESOURCE_EXHAUSTED — 12 GB of fp32 params + the unrolled
-        # Euler graph's fp32 intermediates do not fit; fp32 serving of
-        # the 3B model needs 2+ chips (TP, parallel/sharding.py). LAST in
-        # the sweep so its OOM cannot poison later variants.
-        "fp32_fused": dict(_dtype="float32"),
+        # 24 GB 4090, reference README.md:76-78). 12.1 GiB of fp32 params
+        # fit a 16 GB v5e, but the axon REMOTE COMPILER dies on the
+        # fully-unrolled fp32 Euler graph (HTTP 500, tpu_compile_helper
+        # exit 1 — reproducible); the rolled scan (euler_unroll=1)
+        # compiles a ~10x smaller executable. LAST in the sweep so a
+        # failure cannot poison later variants.
+        "fp32_fused": dict(_dtype="float32", _unroll=1),
     }
 
     def run(**kwargs):
+        from open_pi_zero_tpu.config import dataclass_replace
+
         dtype = jnp.float32 if kwargs.pop("_dtype", None) == "float32" else jnp.bfloat16
+        vcfg = cfg
+        if kwargs.pop("_unroll", None):
+            vcfg = dataclass_replace(cfg, euler_unroll=1)
         # streaming build: never holds the full float tree + serving copy
         # together (peak ~6.5 GB bf16 / ~13 GB fp32 instead of 11/24 GB —
         # what turned the round-2 fp32 row from OOM into a number)
         params = fuse.build_serving_params(
-            jax.random.key(0), cfg, dtype=dtype, **kwargs
+            jax.random.key(0), vcfg, dtype=dtype, **kwargs
         )
         img_, prop_, noise_ = (x.astype(dtype) for x in (img, prop, noise))
 
         def chained(params, rng, ids, img, am, prop, noise):
             out = pizero.infer_action(
-                params, cfg, rng, ids, img, am, prop, action0=noise
+                params, vcfg, rng, ids, img, am, prop, action0=noise
             )
             return prop + (0.0 * out.mean()).astype(prop.dtype), out
 

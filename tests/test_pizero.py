@@ -204,3 +204,19 @@ class TestAdaptiveMode:
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(a_naive), rtol=1e-4, atol=1e-5
         )
+
+
+def test_euler_unroll_config_identical_results(cfg, params, batch):
+    """euler_unroll=1 (rolled scan — the fp32 single-chip recipe) must match
+    the fully-unrolled serving default up to XLA fusion reassociation
+    (measured ~6e-8 max abs on CPU fp32 — same math, different fusions)."""
+    from open_pi_zero_tpu.config import dataclass_replace
+
+    ids, img, am, prop = batch
+    rng = jax.random.key(3)
+    want = pizero.infer_action(params, cfg, rng, ids, img, am, prop)
+    rolled = dataclass_replace(cfg, euler_unroll=1)
+    got = pizero.infer_action(params, rolled, rng, ids, img, am, prop)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
+    )

@@ -113,3 +113,47 @@ def test_tp_training_step_runs(setup):
     new_state, metrics = step(state, train_batch)
     assert np.isfinite(float(metrics["loss"]))
     assert int(new_state.step) == 1
+
+
+def test_fp32_tp2_bridge_width_serving_recipe():
+    """The supported fp32 serving recipe is 2-chip TP of the CANONICAL
+    (unfused) layout: ~6.1 GiB fp32 params per chip + KV cache, vs the
+    single-chip fp32 row that cannot even compile on one 16 GB v5e (the
+    axon remote compiler dies reproducibly — BENCH_SERVING.json). This
+    validates the recipe at full bridge WIDTHS (trunk 2048/16384, 8Q/1KV
+    head_dim 256; depth L=2) on the virtual mesh: every production dim the
+    TP rules must divide is production-sized, and the TP chunk must equal
+    the replicated chunk."""
+    from open_pi_zero_tpu.config import bridge_width_dryrun_config, dataclass_replace
+
+    cfg = dataclass_replace(bridge_width_dryrun_config(), num_inference_steps=2)
+    params = pizero.init_params(jax.random.key(0), cfg, jnp.float32)
+    ids = np.zeros((2, cfg.max_image_text_tokens), np.int32)
+    ids[:, : cfg.siglip.num_image_tokens] = cfg.image_token_index
+    ids[:, cfg.siglip.num_image_tokens] = 2
+    am = jnp.asarray((ids != 0).astype(np.int32))
+    img = jnp.asarray(
+        np.random.default_rng(1).normal(
+            size=(2, cfg.siglip.image_size, cfg.siglip.image_size, 3)
+        ),
+        jnp.float32,
+    )
+    prop = jnp.full((2, 1, cfg.proprio_dim), 0.1, jnp.float32)
+    rng = jax.random.key(3)
+
+    want = pizero.infer_action(params, cfg, rng, jnp.asarray(ids), img, am, prop)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    sharded = shard_params_tp(params, mesh)
+    # the bridge kv heads (1 head x 256) and 16384-wide MLP must actually
+    # shard over tp=2 — this is what tiny geometry cannot exercise
+    specs = tp_param_specs(params, mesh)
+    vlm = specs["joint"]["mixtures"]["vlm"]["layers"]
+    assert vlm["attn"]["k"] != P() and vlm["mlp"]["down"] != P()
+    f = jax.jit(
+        lambda p, r, i, pv, a, pr: pizero.infer_action(p, cfg, r, i, pv, a, pr)
+    )
+    got = f(sharded, rng, jnp.asarray(ids), img, am, prop)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )
