@@ -124,9 +124,10 @@ def main():
         json.dumps(
             {
                 # production serving layout: fused + int8 action expert +
-                # W8A8 prefill towers (drift vs pure bf16 ~2.4e-3 mean L1,
-                # inside the reference's documented cache-drift band —
-                # README "Serving variants")
+                # W8A8 VLM-trunk prefill, SigLIP bf16 (drift vs pure bf16
+                # ~1.35e-3 mean L1 — MID-band of the reference's documented
+                # 5e-4–2.5e-3 cache-drift band; the full-W8A8 minimum-
+                # latency tier is opt-in — DRIFT_BUDGET.json)
                 "metric": "action_chunk_latency_serving",
                 "value": round(per_call, 3),
                 "unit": "ms",
