@@ -136,19 +136,24 @@ def main():
         )
         if base_chunk is None:
             base_chunk = chunk
-        print(
-            json.dumps(
-                {
-                    "variant": name,
-                    "ms_median": round(float(np.median(times)), 3),
-                    "ms_min": round(float(np.min(times)), 3),
-                    "ms_max": round(float(np.max(times)), 3),
-                    "n": len(times),
-                    "drift_L1_vs_bf16": drift,
-                }
-            ),
-            flush=True,
-        )
+        row = {
+            "variant": name,
+            "ms_median": round(float(np.median(times)), 3),
+            "ms_min": round(float(np.min(times)), 3),
+            "ms_max": round(float(np.max(times)), 3),
+            "n": len(times),
+            "drift_L1_vs_bf16": drift,
+        }
+        # regression budget (VERDICT r2 #2): the DEFAULT serving layout
+        # must stay at or below mid-band of the reference's documented
+        # 5e-4..2.5e-3 cache-drift band; int8 tiers must stay in-band
+        if name == "w8a8_vlm_int8_expert" and drift is not None:
+            row["drift_budget_1.5e-3_ok"] = bool(drift <= 1.5e-3)
+            assert drift <= 1.5e-3, (
+                f"DEFAULT layout drift {drift:.2e} blew the 1.5e-3 mid-band "
+                "budget (DRIFT_BUDGET.json attribution changed?)"
+            )
+        print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":

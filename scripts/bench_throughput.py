@@ -51,15 +51,15 @@ def main():
     import __graft_entry__ as graft
 
     cfg = PiZeroConfig()
-    # production serving layout (same as entry()/EvalAgent default):
-    # W8A8 prefill towers + weight-only int8 action expert — at batch,
-    # the prefill dominates and W8A8's int8 MXU rate pays off even more
-    # than at B=1
-    params = fuse.prepare_for_serving(
-        pizero.init_params(jax.random.key(0), cfg, dtype=jnp.bfloat16),
+    # round-3 production serving layout (same as entry()/EvalAgent
+    # default): W8A8 VLM-trunk prefill + weight-only int8 action expert,
+    # SigLIP bf16 (mid-band drift — DRIFT_BUDGET.json). Streaming build
+    # keeps peak HBM ~6.5 GB.
+    params = fuse.build_serving_params(
+        jax.random.key(0), cfg, dtype=jnp.bfloat16,
         quantize_mixtures=() if args.w8a8_expert else ("action",),
         w8a8_mixtures=("vlm", "action") if args.w8a8_expert else ("vlm",),
-        w8a8_siglip=True,
+        w8a8_siglip=False,
     )
     rng = jax.random.key(1)
 
