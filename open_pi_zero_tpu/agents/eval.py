@@ -126,29 +126,14 @@ class EvalAgent:
         # KV-cache drift band of 5e-4–2.5e-3 (reference README.md:116).
         # quantize=false serves pure bf16; w8a8=false keeps the prefill
         # bf16 for maximum numerical headroom.
-        if bool(self.cfg.get("quantize", True)):
-            mixes = tuple(self.cfg.get("quantize_mixtures", ("action",)))
-            bits = int(self.cfg.get("quantize_bits", 8))  # 8=int8, 4=4-bit
-            code = str(self.cfg.get("quantize_code", "nf4"))  # nf4 only
-            w8a8 = bool(self.cfg.get("w8a8", True))
-            # SigLIP W8A8 is off by default: the round-3 drift budget
-            # (DRIFT_BUDGET.json) attributes the LARGEST drift share to the
-            # vision tower (2.6e-3 alone vs 1.8e-3 vlm / 1.1e-3 expert),
-            # and dropping it moves the chunk from the top edge of the
-            # reference band to mid-band (~1.4e-3) for <1 ms of latency.
-            # Opt back in with w8a8_siglip=true for the minimum-latency tier.
-            w8a8_siglip = bool(self.cfg.get("w8a8_siglip", False))
-            params = fuse.prepare_for_serving(
-                params,
-                quantize_mixtures=mixes,
-                bits=bits,
-                code=code,
-                w8a8_mixtures=("vlm",) if w8a8 else (),
-                w8a8_siglip=w8a8 and w8a8_siglip,
-            )
-        else:
-            params = fuse.prepare_for_serving(params)
-        return params
+        # SigLIP W8A8 is off by default: the round-3 drift budget
+        # (DRIFT_BUDGET.json) attributes the LARGEST drift share to the
+        # vision tower (2.6e-3 alone vs 1.8e-3 vlm / 1.1e-3 expert), and
+        # dropping it moves the chunk from the top edge of the reference
+        # band to mid-band (~1.4e-3) for <1 ms of latency. Opt back in
+        # with w8a8_siglip=true for the minimum-latency tier. Knob
+        # resolution is shared with serve.py/benches (fuse.serving_layout_kwargs).
+        return fuse.prepare_for_serving(params, **fuse.serving_layout_kwargs(self.cfg))
 
     # ------------------------------------------------------------------ #
     def act(self, inputs: dict) -> np.ndarray:

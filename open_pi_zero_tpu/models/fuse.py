@@ -148,6 +148,35 @@ def prepare_for_serving(
     return params
 
 
+def serving_layout_kwargs(cfg) -> dict:
+    """Resolve the eval-config serving-tier knobs into the kwargs shared by
+    ``prepare_for_serving`` and ``build_serving_params``.
+
+    Single source of truth for the tier selection so EvalAgent (checkpoint
+    load), scripts/serve.py (daemon, incl. --random-init) and benches all
+    agree on what e.g. ``quantize=true w8a8=true`` means. Knobs (all read
+    with the production defaults):
+
+      quantize=true            master switch; false = pure fused bf16
+      quantize_mixtures        weight-only tier targets (default: action)
+      quantize_bits/code       8=int8 / 4=NF4 for those mixtures
+      w8a8=true                W8A8 prefill on the VLM trunk
+      w8a8_siglip=false        opt-in min-latency tier (drift moves from
+                               mid-band 1.35e-3 to top-edge 2.52e-3 —
+                               DRIFT_BUDGET.json)
+    """
+    if not bool(cfg.get("quantize", True)):
+        return {}
+    w8a8 = bool(cfg.get("w8a8", True))
+    return dict(
+        quantize_mixtures=tuple(cfg.get("quantize_mixtures", ("action",))),
+        bits=int(cfg.get("quantize_bits", 8)),
+        code=str(cfg.get("quantize_code", "nf4")),
+        w8a8_mixtures=("vlm",) if w8a8 else (),
+        w8a8_siglip=w8a8 and bool(cfg.get("w8a8_siglip", False)),
+    )
+
+
 def build_serving_params(
     key,
     cfg,

@@ -8,8 +8,14 @@ JSON — protocol in open_pi_zero_tpu/serving.py).
       checkpoint_path=/path/to/ckpt [--host 0.0.0.0] [--port 7011] \
       [--batch-sizes 1,4,8,16] [--window-ms 3]
 
-One v5e chip sustains ~158 chunks/s at batch 16 (BENCH_THROUGHPUT.json),
-i.e. 100+ robot control loops at bridge's 5 Hz effective rate.
+`--random-init` skips the checkpoint and builds serving params with the
+streaming OOM-proof builder (fuse.build_serving_params) — for load
+testing / protocol work before real weights land.
+
+One v5e chip sustains ~147 chunks/s at batch 16 in the default mid-band
+layout (158 with the opt-in w8a8_siglip=true min-latency tier,
+BENCH_THROUGHPUT.json) — 100+ robot control loops at bridge's 5 Hz
+effective rate.
 """
 
 from __future__ import annotations
@@ -37,6 +43,11 @@ def main():
         help="comma-separated bucket sizes, one compile each (e.g. 1,4,8,16)",
     )
     parser.add_argument("--window-ms", type=float, default=3.0)
+    parser.add_argument(
+        "--random-init",
+        action="store_true",
+        help="serve random weights (streaming builder) — no checkpoint needed",
+    )
     parser.add_argument("overrides", nargs="*", help="key=value config overrides")
     args = parser.parse_args()
 
@@ -51,14 +62,27 @@ def main():
     cfg = load_config(args.config, overrides=args.overrides)
     model_cfg = pizero_config_from_dict(cfg)
 
-    # reuse EvalAgent's checkpoint -> merged -> fused/quantized pipeline
-    from open_pi_zero_tpu.agents.eval import EvalAgent
+    dtype = jnp.bfloat16 if bool(cfg.get("use_bf16", True)) else jnp.float32
+    if args.random_init:
+        # streaming module-at-a-time build (~6.5 GB peak vs 11+ GB for the
+        # two-step init->quantize), same tier knobs as the checkpoint path
+        from open_pi_zero_tpu.models import fuse
 
-    agent = EvalAgent.__new__(EvalAgent)
-    agent.cfg = cfg
-    agent.model_cfg = model_cfg
-    agent.dtype = jnp.bfloat16 if bool(cfg.get("use_bf16", True)) else jnp.float32
-    params = agent._load_params()
+        params = fuse.build_serving_params(
+            jax.random.key(int(cfg.get("seed", 42))),
+            model_cfg,
+            dtype,
+            **fuse.serving_layout_kwargs(cfg),
+        )
+    else:
+        # reuse EvalAgent's checkpoint -> merged -> fused/quantized pipeline
+        from open_pi_zero_tpu.agents.eval import EvalAgent
+
+        agent = EvalAgent.__new__(EvalAgent)
+        agent.cfg = cfg
+        agent.model_cfg = model_cfg
+        agent.dtype = dtype
+        params = agent._load_params()
 
     rng_holder = {"rng": jax.random.key(int(cfg.get("seed", 42)))}
     jit_infer = jax.jit(
@@ -72,9 +96,9 @@ def main():
                 params,
                 sub,
                 jnp.asarray(batch["input_ids"]),
-                jnp.asarray(batch["pixel_values"], agent.dtype),
+                jnp.asarray(batch["pixel_values"], dtype),
                 jnp.asarray(batch["attention_mask"]),
-                jnp.asarray(batch["proprios"], agent.dtype),
+                jnp.asarray(batch["proprios"], dtype),
             ),
             np.float32,
         )

@@ -210,3 +210,25 @@ def test_default_serving_layout_keeps_siglip_bf16(setup):
     assert isinstance(act_attn["qkv"], dict) and "q" in act_attn["qkv"]
     sig_attn = served["siglip"]["layers"]["attn"]
     assert not isinstance(sig_attn["qkv"]["kernel"], dict)  # bf16 tower
+
+
+def test_serving_layout_kwargs_resolution():
+    """fuse.serving_layout_kwargs is the single source of truth for the
+    eval-config tier knobs, shared by EvalAgent._load_params,
+    scripts/serve.py --random-init, and the benches."""
+    # production defaults: int8 expert + W8A8 vlm, SigLIP bf16
+    kw = fuse.serving_layout_kwargs({})
+    assert kw["quantize_mixtures"] == ("action",)
+    assert kw["w8a8_mixtures"] == ("vlm",)
+    assert kw["bits"] == 8 and kw["w8a8_siglip"] is False
+    # min-latency opt-in tier
+    kw = fuse.serving_layout_kwargs({"w8a8_siglip": True})
+    assert kw["w8a8_siglip"] is True
+    # w8a8=false drops the prefill tier entirely (incl. siglip)
+    kw = fuse.serving_layout_kwargs({"w8a8": False, "w8a8_siglip": True})
+    assert kw["w8a8_mixtures"] == () and kw["w8a8_siglip"] is False
+    # quantize=false = pure fused bf16 (no kwargs at all)
+    assert fuse.serving_layout_kwargs({"quantize": False}) == {}
+    # NF4 memory tier
+    kw = fuse.serving_layout_kwargs({"quantize_bits": 4})
+    assert kw["bits"] == 4 and kw["code"] == "nf4"
