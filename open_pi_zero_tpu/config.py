@@ -302,6 +302,12 @@ class PiZeroConfig:
     final_action_clip_value: Optional[float] = 1.0
     flow_sig_min: float = 0.001
     flow_sampling: str = "beta"  # "beta" | "uniform"
+    # ODE integrator for infer_action's flow (reference is Euler-only,
+    # pizero.py:416-490). "midpoint" is the 2nd-order speed tier: 2 expert
+    # evals/step, so midpoint-K costs like euler-2K but integrates the flow
+    # with O(h^2) error — measured latency/drift tradeoff in
+    # BENCH_FLOW_STEPS.json. Parity default stays "euler" @ 10 steps.
+    flow_integrator: str = "euler"  # "euler" | "midpoint"
     flow_alpha: float = 1.5
     flow_beta: float = 1.0
     time_hidden_size: int = 256
@@ -318,6 +324,13 @@ class PiZeroConfig:
     euler_unroll: Optional[int] = None
     siglip: SiglipConfig = field(default_factory=SiglipConfig)
     joint: JointConfig = field(default_factory=lambda: _default_joint())
+
+    def __post_init__(self):
+        if self.flow_integrator not in ("euler", "midpoint"):
+            raise ValueError(
+                f"flow_integrator must be 'euler' or 'midpoint', "
+                f"got {self.flow_integrator!r}"
+            )
 
     @property
     def num_proprio_tokens(self) -> int:
@@ -456,6 +469,7 @@ def pizero_config_from_dict(cfg: ConfigDict) -> PiZeroConfig:
         final_action_clip_value=cfg.get("final_action_clip_value", 1.0),
         flow_sig_min=float(cfg.get("flow_sig_min", 0.001)),
         flow_sampling=cfg.get("flow_sampling", "beta"),
+        flow_integrator=cfg.get("flow_integrator", "euler"),
         flow_alpha=float(cfg.get("flow_alpha", 1.5)),
         flow_beta=float(cfg.get("flow_beta", 1.0)),
         time_hidden_size=cfg.get("time_hidden_size", 256),

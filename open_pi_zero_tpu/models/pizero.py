@@ -257,8 +257,7 @@ def infer_action(
     action0 = action0.astype(dtype)
     delta_t = 1.0 / cfg.num_inference_steps
 
-    def euler_step(carry, _):
-        action, t = carry
+    def vel_at(action, t):
         t_emb = time_embedding(cfg, t, dtype)
         t_cond = {"action": t_emb} if cfg.action_expert_adaptive_mode else None
         action_embeds = encode_action(
@@ -268,7 +267,19 @@ def infer_action(
             params["joint"], cfg.joint, action_embeds, kv_cache,
             pos["action"], action_mask, t_cond,
         )
-        vel = decode_action(params, hidden)
+        return decode_action(params, hidden)
+
+    def euler_step(carry, _):
+        action, t = carry
+        if cfg.flow_integrator == "midpoint":
+            # 2nd-order: evaluate the field at the half step. 2 expert
+            # evals/step, O(h^2) integration error — the speed tier knob
+            # (midpoint-K tracks the continuous flow like euler-~K^2;
+            # measured tradeoff in BENCH_FLOW_STEPS.json).
+            half = action + 0.5 * delta_t * vel_at(action, t)
+            vel = vel_at(half, t + 0.5 * delta_t)
+        else:
+            vel = vel_at(action, t)
         return (action + delta_t * vel, t + delta_t), None
 
     t0 = jnp.zeros((b,), dtype)
@@ -317,8 +328,7 @@ def infer_action_naive(
 
     t0_emb = time_embedding(cfg, jnp.zeros((b,), dtype), dtype)
 
-    def euler_step(carry, _):
-        action, t = carry
+    def vel_at(action, t):
         t_emb = time_embedding(cfg, t, dtype)
         # prefix conditioned at t=0 (matches the cached path; see infer_action)
         t_cond = (
@@ -337,7 +347,15 @@ def infer_action_naive(
             full_mask,
             time_cond=t_cond,
         )["action"]
-        vel = decode_action(params, hidden)
+        return decode_action(params, hidden)
+
+    def euler_step(carry, _):
+        action, t = carry
+        if cfg.flow_integrator == "midpoint":
+            half = action + 0.5 * delta_t * vel_at(action, t)
+            vel = vel_at(half, t + 0.5 * delta_t)
+        else:
+            vel = vel_at(action, t)
         return (action + delta_t * vel, t + delta_t), None
 
     t0 = jnp.zeros((b,), dtype)

@@ -220,3 +220,45 @@ def test_euler_unroll_config_identical_results(cfg, params, batch):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
     )
+
+
+def test_midpoint_integrator_2nd_order_and_cached_matches_naive(cfg, params, batch):
+    """flow_integrator="midpoint" (2 expert evals/step, O(h^2)) must (a) beat
+    Euler's integration error at equal step count against a fine-step
+    quasi-continuous solution, and (b) keep the cached==naive oracle. The
+    parity default stays euler@10 (reference pizero.py:416-490 is
+    Euler-only); midpoint is the measured speed tier (BENCH_FLOW_STEPS.json)."""
+    from open_pi_zero_tpu.config import dataclass_replace
+
+    ids, img, am, prop = batch
+    rng = jax.random.key(5)
+    # clip off: compare raw integrals, not saturated endpoints
+    truth = pizero.infer_action(
+        params,
+        dataclass_replace(cfg, num_inference_steps=64, final_action_clip_value=None),
+        rng, ids, img, am, prop,
+    )
+    e8 = pizero.infer_action(
+        params,
+        dataclass_replace(cfg, num_inference_steps=8, final_action_clip_value=None),
+        rng, ids, img, am, prop,
+    )
+    mid8_cfg = dataclass_replace(
+        cfg, num_inference_steps=8, flow_integrator="midpoint",
+        final_action_clip_value=None,
+    )
+    m8 = pizero.infer_action(params, mid8_cfg, rng, ids, img, am, prop)
+    err_e = float(np.abs(np.asarray(e8) - np.asarray(truth)).mean())
+    err_m = float(np.abs(np.asarray(m8) - np.asarray(truth)).mean())
+    assert np.isfinite(np.asarray(m8)).all()
+    assert err_m < err_e, (err_m, err_e)
+
+    m8_naive = pizero.infer_action_naive(params, mid8_cfg, rng, ids, img, am, prop)
+    np.testing.assert_allclose(
+        np.asarray(m8), np.asarray(m8_naive), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_flow_integrator_validated():
+    with pytest.raises(ValueError, match="flow_integrator"):
+        tiny_pizero_config(flow_integrator="rk4")
