@@ -79,3 +79,132 @@ def test_bench_serving_daemon_tiny():
         payload = _json.load(f)
     assert payload["through_socket"][0]["chunks_per_s"] > 0
     assert "binary" in payload["codec"] and "json" in payload["codec"]
+
+
+TINY_EVAL_YAML = """\
+name: tiny_serve
+seed: 42
+log_dir: /tmp/opz_tiny_serve
+checkpoint_path:
+use_bf16: true
+env:
+  task: widowx_carrot_on_plate
+  adapter:
+    name: bridge
+    dataset_statistics_path: configs/statistics/bridge_statistics.json
+    tokenizer_padding: max_length
+    max_seq_len: 12
+    num_image_tokens: 4
+    image_size: [28, 28]
+flow_sampling: beta
+flow_sig_min: 0.001
+num_inference_steps: 2
+final_action_clip_value: 1.0
+cond_steps: 1
+horizon_steps: 4
+act_steps: 4
+action_dim: 7
+proprio_dim: 7
+image_token_index: 500
+vocab_size: 512
+pad_token_id: 0
+time_hidden_size: 32
+time_max_period: 10000.0
+action_expert_adaptive_mode:
+action_expert_rope_theta: 10000.0
+quantize: true
+lora: false
+max_seq_len: 12
+max_image_text_tokens: ${env.adapter.max_seq_len}
+mixture:
+  vlm:
+    hidden_size: 64
+    intermediate_size: 128
+    use_final_norm: false
+    cache: true
+    use_quantize: false
+    use_lora: false
+    adaptive_mode:
+    rope_theta: 10000.0
+  proprio:
+    hidden_size: 32
+    intermediate_size: 64
+    use_final_norm: true
+    cache: true
+    use_quantize: false
+    use_lora: false
+    adaptive_mode: ${action_expert_adaptive_mode}
+    rope_theta: ${action_expert_rope_theta}
+  action:
+    hidden_size: 32
+    intermediate_size: 64
+    use_final_norm: true
+    cache: false
+    use_quantize: false
+    use_lora: false
+    adaptive_mode: ${action_expert_adaptive_mode}
+    rope_theta: ${action_expert_rope_theta}
+vision:
+  config:
+    {hidden_size: 32, intermediate_size: 64, num_hidden_layers: 2,
+     num_attention_heads: 4, num_channels: 3, image_size: 28,
+     patch_size: 14, layer_norm_eps: 1e-6, num_image_tokens: 4}
+vision_projector:
+  config:
+    vision_config: {projection_dim: 64}
+joint:
+  config:
+    {num_hidden_layers: 2, num_attention_heads: 4, num_key_value_heads: 1,
+     head_dim: 16, rms_norm_eps: 1e-6, attention_bias: false,
+     attention_dropout: 0.0}
+"""
+
+
+@pytest.mark.slow
+def test_serve_random_init_through_socket(tmp_path):
+    """scripts/serve.py --random-init (streaming builder, no checkpoint)
+    comes up and serves finite chunks over both codecs — the pre-weights
+    load-test path."""
+    import socket
+    import time
+
+    cfg_path = tmp_path / "tiny_eval.yaml"
+    cfg_path.write_text(TINY_EVAL_YAML)
+    port = 7491
+    env = dict(os.environ, PYTHONPATH=ROOT, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "scripts/serve.py", "--config", str(cfg_path),
+         "--random-init", "--port", str(port), "--batch-sizes", "1"],
+        cwd=ROOT, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                raise AssertionError(f"daemon died:\n{proc.stdout.read()}")
+            try:
+                socket.create_connection(("127.0.0.1", port), timeout=1).close()
+                break
+            except OSError:
+                time.sleep(1.0)
+        else:
+            raise AssertionError("daemon never opened its port")
+
+        import numpy as np
+
+        from open_pi_zero_tpu.serving import request_action
+
+        rng = np.random.default_rng(0)
+        obs = {
+            "input_ids": np.full((12,), 500, np.int32),
+            "pixel_values": rng.normal(size=(28, 28, 3)).astype(np.float32),
+            "attention_mask": np.ones((12,), np.int32),
+            "proprios": rng.normal(size=(1, 7)).astype(np.float32),
+        }
+        for binary in (True, False):
+            chunk = request_action("127.0.0.1", port, obs, binary=binary)
+            assert chunk.shape == (4, 7) and np.isfinite(chunk).all()
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
