@@ -172,13 +172,16 @@ def make_jitted_train_step(
     mesh=None,
     grad_accum: int = 1,
     state_sharding: Optional[TrainState] = None,
+    compiler_options: Optional[dict] = None,
 ):
     """jit the step; with a mesh, shard the batch over `data` and keep the
     state replicated — XLA inserts the gradient psum (DP, SURVEY.md §2.6).
-    Pass state_sharding=zero1_state_sharding(state, mesh) for ZeRO-1."""
+    Pass state_sharding=zero1_state_sharding(state, mesh) for ZeRO-1.
+    `compiler_options` feeds through to the top-level jit (used by the
+    CPU-mesh dryrun to raise XLA:CPU's collective rendezvous timeouts)."""
     step = make_train_step(cfg, train_cfg, tx, grad_accum)
     if mesh is None:
-        return jax.jit(step, donate_argnums=0)
+        return jax.jit(step, donate_argnums=0, compiler_options=compiler_options)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -192,4 +195,5 @@ def make_jitted_train_step(
         in_shardings=(sspec, bspec),
         out_shardings=(sspec, rep),
         donate_argnums=0,
+        compiler_options=compiler_options,
     )
