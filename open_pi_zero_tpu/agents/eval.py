@@ -53,6 +53,22 @@ class EvalAgent:
                 params, self.model_cfg, rng, ids, pix, am, prop
             )
         )
+        # training-free action caching/refinement: when refine_from_prev is
+        # set to t_start in (0, 1), steady-state chunks warm-start the flow
+        # from the re-noised previous chunk and integrate only [t_start, 1]
+        # (pizero.infer_action_refined) — round(N * (1-t_start)) velocity
+        # evals instead of N. Off by default (0.0): opt-in speed tier whose
+        # Simpler-success impact must be validated with real weights
+        # (scripts/verify_checkpoint.py hour-one procedure).
+        self.refine_t = float(cfg.get("refine_from_prev", 0.0))
+        assert 0.0 <= self.refine_t < 1.0, "refine_from_prev must be in [0, 1)"
+        self._infer_refined = jax.jit(
+            lambda params, rng, ids, pix, am, prop, prev: pizero.infer_action_refined(
+                params, self.model_cfg, rng, ids, pix, am, prop, prev,
+                t_start=self.refine_t,
+            )
+        )
+        self._prev_chunk = None  # [B, A, act_dim] device array, normalized
         self.rng = jax.random.key(self.seed)
 
         # ---- env ----
@@ -139,7 +155,7 @@ class EvalAgent:
     def act(self, inputs: dict) -> np.ndarray:
         """model inputs -> normalized action chunk [A, act_dim]."""
         self.rng, sub = jax.random.split(self.rng)
-        chunk = self._infer(
+        args = (
             self.params,
             sub,
             jnp.asarray(inputs["input_ids"]),
@@ -147,7 +163,19 @@ class EvalAgent:
             jnp.asarray(inputs["attention_mask"]),
             jnp.asarray(inputs["proprios"], self.dtype),
         )
+        if self.refine_t > 0.0 and self._prev_chunk is not None:
+            chunk = self._infer_refined(*args, self._prev_chunk)
+        else:
+            chunk = self._infer(*args)
+        if self.refine_t > 0.0:
+            self._prev_chunk = chunk
         return np.asarray(chunk[0], np.float32)
+
+    def reset_policy_cache(self) -> None:
+        """Drop the cached chunk at episode boundaries — the first chunk of
+        an episode always runs the full flow (no stale warm-start across
+        resets)."""
+        self._prev_chunk = None
 
     # ------------------------------------------------------------------ #
     def run(self) -> dict:
@@ -167,6 +195,7 @@ class EvalAgent:
         obs, reset_info = env.reset(seed=self.seed, options=env_reset_options)
         instruction = env.get_language_instruction()
         adapter.reset()
+        self.reset_policy_cache()
         log.info("instruction: %s", instruction)
         if self.record_video:
             video_writer = self._open_video(cnt_episode)
@@ -201,6 +230,7 @@ class EvalAgent:
                 obs, reset_info = env.reset(options=env_reset_options)
                 instruction = env.get_language_instruction()
                 adapter.reset()
+                self.reset_policy_cache()
                 if self.record_video and cnt_episode < self.n_video:
                     video_writer = self._open_video(cnt_episode)
 

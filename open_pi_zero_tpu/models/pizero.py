@@ -214,9 +214,20 @@ def infer_action(
     attention_mask: Array,  # [B, S] binary (image+text valid)
     proprios: Array,  # [B, P, proprio_dim]
     action0: Optional[Array] = None,  # inject initial noise (tests/parity)
+    t_start: float = 0.0,  # static: resume the flow from this time
+    t_end: float = 1.0,  # static: stop early (tests / chunk caching)
 ) -> Array:
     """KV-cached action inference: one prefix prefill, then `lax.scan` over
     the Euler steps (reference pizero.py:416-490). Returns [B, A, act_dim].
+
+    `t_start`/`t_end` (static Python floats) integrate a SEGMENT of the
+    flow with the same grid as the full run (step count = round(
+    num_inference_steps * (t_end - t_start))): resuming from the exact
+    mid-trajectory state reproduces the full result bit-for-bit (tested).
+    With `action0 = renoise_chunk(prev_chunk, t_start)` this is the
+    training-free action-caching/refinement speedup for steady-state
+    control loops (fewer velocity evals per chunk); see
+    infer_action_refined.
     """
     dtype = pixel_values.dtype
     b = input_ids.shape[0]
@@ -255,7 +266,11 @@ def infer_action(
             rng, (b, cfg.horizon_steps, cfg.action_dim), dtype=dtype
         )
     action0 = action0.astype(dtype)
-    delta_t = 1.0 / cfg.num_inference_steps
+    # segment grid: same delta_t as the full run when (t_end - t_start) is
+    # a multiple of 1/num_inference_steps, so resuming from an exact
+    # mid-trajectory state is bit-identical to the full integration
+    n_steps = max(1, round(cfg.num_inference_steps * (t_end - t_start)))
+    delta_t = (t_end - t_start) / n_steps
 
     def vel_at(action, t):
         t_emb = time_embedding(cfg, t, dtype)
@@ -282,7 +297,7 @@ def infer_action(
             vel = vel_at(action, t)
         return (action + delta_t * vel, t + delta_t), None
 
-    t0 = jnp.zeros((b,), dtype)
+    t0 = jnp.full((b,), t_start, dtype)
     # full unroll: lets XLA software-pipeline the expert's weight streaming
     # across Euler steps (measured ~0.9 ms off the 10-step serving chunk on
     # v5e; a scanned loop reloads each layer's weights cold every step)
@@ -290,14 +305,56 @@ def infer_action(
         euler_step,
         (action0, t0),
         None,
-        length=cfg.num_inference_steps,
-        unroll=cfg.euler_unroll or cfg.num_inference_steps,
+        length=n_steps,
+        unroll=cfg.euler_unroll or n_steps,
     )
-    if cfg.final_action_clip_value is not None:
+    if t_end >= 1.0 and cfg.final_action_clip_value is not None:
         action = jnp.clip(
             action, -cfg.final_action_clip_value, cfg.final_action_clip_value
         )
     return action
+
+
+def renoise_chunk(
+    cfg: PiZeroConfig, rng: Array, prev_chunk: Array, t_start: float
+) -> Array:
+    """Re-noise a previous action chunk to flow time `t_start` with the
+    TRAINING interpolation x_t = (1 - (1 - sig_min) t) x0 + t x1 (`psi_t`
+    below / reference pizero.py:597-605): fresh noise x0, the
+    cached chunk as x1. Integrating the learned field from (x_t, t_start)
+    refines the cached chunk with only (1 - t_start) of the velocity
+    evals — the training-free action-caching speedup for steady-state
+    control loops (consecutive chunks at ~5 Hz are strongly correlated).
+    Real-checkpoint validation (Simpler success at the refined tier) is
+    part of the hour-one procedure in scripts/verify_checkpoint.py."""
+    x0 = jax.random.normal(rng, prev_chunk.shape, prev_chunk.dtype)
+    t = jnp.full((prev_chunk.shape[0],), t_start, prev_chunk.dtype)
+    return psi_t(cfg, x0, prev_chunk, t)
+
+
+def infer_action_refined(
+    params: dict,
+    cfg: PiZeroConfig,
+    rng: Array,
+    input_ids: Array,
+    pixel_values: Array,
+    attention_mask: Array,
+    proprios: Array,
+    prev_chunk: Array,  # [B, A, act_dim] — the previous control step's chunk
+    t_start: float = 0.5,  # static: cache strength (higher = fewer evals)
+) -> Array:
+    """Training-free action caching + refinement: warm-start the flow from
+    the re-noised previous chunk and integrate only [t_start, 1] —
+    round(num_inference_steps * (1 - t_start)) velocity evals instead of
+    num_inference_steps. Opt-in steady-state serving tier (EvalAgent
+    `refine_from_prev`); the first chunk of an episode always runs the
+    full flow."""
+    noise_rng, rng = jax.random.split(rng)
+    action_t = renoise_chunk(cfg, noise_rng, prev_chunk, t_start)
+    return infer_action(
+        params, cfg, rng, input_ids, pixel_values, attention_mask, proprios,
+        action0=action_t, t_start=t_start,
+    )
 
 
 def infer_action_naive(

@@ -336,15 +336,8 @@ class FakeEnv:
         return "put the spoon on the towel"
 
 
-@pytest.mark.slow
-def test_eval_agent_loop(tmp_path, monkeypatch):
-    from open_pi_zero_tpu.agents.eval import EvalAgent
-    from open_pi_zero_tpu.config import tiny_pizero_config
-    from open_pi_zero_tpu.models import pizero
-
-    img = np.zeros((64, 64, 3), np.uint8)
-    monkeypatch.setattr(ea, "_get_simpler_image", lambda env, obs: img)
-
+def _tiny_eval_cfg(tmp_path, **extra):
+    """Tiny-geometry EvalAgent ConfigDict shared by the episode-loop tests."""
     cfg = ConfigDict(
         {
             "seed": 0,
@@ -379,16 +372,61 @@ def test_eval_agent_loop(tmp_path, monkeypatch):
             }},
         }
     )
+    cfg.update(extra)
+    return cfg
+
+
+def _tiny_eval_agent(tmp_path, monkeypatch, **extra):
+    from open_pi_zero_tpu.agents.eval import EvalAgent
+    from open_pi_zero_tpu.config import tiny_pizero_config
+    from open_pi_zero_tpu.models import pizero
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    monkeypatch.setattr(ea, "_get_simpler_image", lambda env, obs: img)
+    cfg = _tiny_eval_cfg(tmp_path, **extra)
     model_cfg = tiny_pizero_config(
         vocab_size=10000, max_image_text_tokens=12, num_inference_steps=2
     )
     params = pizero.init_params(jax.random.key(0), model_cfg)
+    return EvalAgent(cfg, env=FakeEnv(), adapter=_adapter(), params=params)
 
-    agent = EvalAgent(cfg, env=FakeEnv(), adapter=_adapter(), params=params)
+
+@pytest.mark.slow
+def test_eval_agent_loop(tmp_path, monkeypatch):
+    agent = _tiny_eval_agent(tmp_path, monkeypatch)
     result = agent.run()
     assert result["n_episodes"] == 4
     assert result["success_rate"] == 0.5  # even episodes succeed
     assert result["mean_inference_time_s"] is not None
+
+
+@pytest.mark.slow
+def test_eval_agent_refine_from_prev(tmp_path, monkeypatch):
+    """refine_from_prev=0.5: the first chunk of each episode runs the full
+    flow; steady-state chunks run the refined (warm-started) path; the
+    cache is dropped at every episode reset. FakeEnv truncates at 6 env
+    steps with act_steps=4 -> exactly 2 chunks per episode."""
+    agent = _tiny_eval_agent(tmp_path, monkeypatch, refine_from_prev=0.5)
+    calls = {"full": 0, "refined": 0}
+    full_fn, ref_fn = agent._infer, agent._infer_refined
+
+    def count_full(*a):
+        calls["full"] += 1
+        return full_fn(*a)
+
+    def count_ref(*a):
+        calls["refined"] += 1
+        assert agent._prev_chunk is not None
+        return ref_fn(*a)
+
+    agent._infer, agent._infer_refined = count_full, count_ref
+    result = agent.run()
+    assert result["n_episodes"] == 4
+    assert result["success_rate"] == 0.5  # accounting unchanged by the tier
+    assert calls == {"full": 4, "refined": 4}, calls
+    # cache cleared after the final episode's reset bookkeeping path
+    agent.reset_policy_cache()
+    assert agent._prev_chunk is None
 
 
 _TINY_GEOMETRY_OVERRIDES = [

@@ -262,3 +262,92 @@ def test_midpoint_integrator_2nd_order_and_cached_matches_naive(cfg, params, bat
 def test_flow_integrator_validated():
     with pytest.raises(ValueError, match="flow_integrator"):
         tiny_pizero_config(flow_integrator="rk4")
+
+
+class TestFlowRefinement:
+    """Training-free action caching/refinement: segment integration +
+    renoise warm-start (infer_action t_start/t_end, renoise_chunk,
+    infer_action_refined)."""
+
+    def test_segment_resume_matches_full(self, params, batch):
+        """Integrating [0, 0.5] then resuming [0.5, 1] from the mid state
+        must reproduce the full [0, 1] integration bit-for-bit: same dyadic
+        grid (N=4 -> delta_t=0.25 exact in fp32), same velocity evals."""
+        from open_pi_zero_tpu.config import dataclass_replace
+
+        cfg4 = tiny_pizero_config(num_inference_steps=4)
+        ids, img, am, prop = batch
+        rng = jax.random.key(9)
+        a0 = jax.random.normal(
+            jax.random.key(11), (2, cfg4.horizon_steps, cfg4.action_dim)
+        )
+        full = pizero.infer_action(
+            params, cfg4, rng, ids, img, am, prop, action0=a0
+        )
+        mid = pizero.infer_action(
+            params, cfg4, rng, ids, img, am, prop, action0=a0, t_end=0.5
+        )
+        resumed = pizero.infer_action(
+            params, cfg4, rng, ids, img, am, prop, action0=mid, t_start=0.5
+        )
+        np.testing.assert_array_equal(np.asarray(resumed), np.asarray(full))
+        # the mid state is genuinely mid-trajectory, not the endpoint
+        assert np.abs(np.asarray(mid) - np.asarray(full)).max() > 1e-4
+        # unclipped segment: t_end < 1 must not apply the final clip
+        clipless = dataclass_replace(cfg4, final_action_clip_value=None)
+        mid_noclip = pizero.infer_action(
+            params, clipless, rng, ids, img, am, prop, action0=a0, t_end=0.5
+        )
+        np.testing.assert_array_equal(np.asarray(mid), np.asarray(mid_noclip))
+
+    def test_renoise_endpoints(self, cfg):
+        rng = jax.random.key(3)
+        prev = jnp.asarray(
+            np.random.default_rng(0).normal(size=(2, cfg.horizon_steps, cfg.action_dim)),
+            jnp.float32,
+        )
+        # t=0: pure fresh noise (the full-flow starting point)
+        x0 = jax.random.normal(rng, prev.shape, prev.dtype)
+        np.testing.assert_array_equal(
+            np.asarray(pizero.renoise_chunk(cfg, rng, prev, 0.0)), np.asarray(x0)
+        )
+        # t->1: converges to the cached chunk (sig_min-sized noise floor)
+        near = pizero.renoise_chunk(cfg, rng, prev, 1.0)
+        np.testing.assert_allclose(
+            np.asarray(near), np.asarray(prev), atol=10 * cfg.flow_sig_min
+        )
+        # matches the TRAINING interpolant psi_t exactly (same formula the
+        # velocity field was trained against; reference pizero.py:597-605)
+        t = jnp.full((2,), 0.5, prev.dtype)
+        np.testing.assert_array_equal(
+            np.asarray(pizero.renoise_chunk(cfg, rng, prev, 0.5)),
+            np.asarray(pizero.psi_t(cfg, x0, prev, t)),
+        )
+
+    def test_infer_action_refined_deterministic_and_bounded(self, params, batch):
+        cfg4 = tiny_pizero_config(num_inference_steps=4)
+        ids, img, am, prop = batch
+        rng = jax.random.key(5)
+        prev = pizero.infer_action(params, cfg4, rng, ids, img, am, prop)
+        fn = jax.jit(
+            lambda r, p: pizero.infer_action_refined(
+                params, cfg4, r, ids, img, am, prop, p, t_start=0.5
+            )
+        )
+        r1 = fn(jax.random.key(6), prev)
+        r2 = fn(jax.random.key(6), prev)
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+        a = np.asarray(r1)
+        assert a.shape == (2, cfg4.horizon_steps, cfg4.action_dim)
+        assert np.isfinite(a).all()
+        assert (np.abs(a) <= cfg4.final_action_clip_value + 1e-6).all()
+        # warm-started output stays correlated with the cached chunk it
+        # refines (the whole point of the cache)
+        full_fresh = pizero.infer_action(
+            params, cfg4, jax.random.key(6), ids, img, am, prop
+        )
+        corr_prev = float(
+            np.corrcoef(a.ravel(), np.asarray(prev, np.float32).ravel())[0, 1]
+        )
+        assert corr_prev > 0.5, corr_prev
+        assert np.abs(a - np.asarray(full_fresh)).max() > 1e-5  # not a no-op
