@@ -15,6 +15,9 @@ Stages (each prints PASS/FAIL/SKIP; nonzero exit on any FAIL):
             README.md:116: 5e-4–2.5e-3 mean L1 in bf16)
   drift     production serving layout (fused + int8 expert + W8A8
             prefill) vs bf16 fused — chunk L1 must stay inside the band
+  refine    refined steady-state tier (infer_action_refined) vs the full
+            flow on the same observation — report-only unless
+            --refine-band is given
   episodes  if simpler_env imports: N-episode closed-loop smoke with
             success accounting (reference eval.py:60-179); else SKIP
 
@@ -220,6 +223,37 @@ def stage_drift(params, cfg, band, seed=2):
                   f"serving-vs-bf16 chunk L1 {drift:.2e} (band {band:.1e})")
 
 
+def stage_refine(params, cfg, band, t_start=0.5, seed=3):
+    """Refined tier (pizero.infer_action_refined): warm-start from the full
+    chunk re-noised to t_start, integrate [t_start, 1] — measures how far
+    the cheap steady-state path lands from the full flow on the SAME
+    observation. Report-only unless --refine-band is given: the acceptable
+    gap is a policy-level question (does Simpler success hold at the
+    refined tier?) that needs real weights + env."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from open_pi_zero_tpu.models import pizero
+
+    ids, img, am, prop = _example_vla_inputs(cfg, seed=seed)
+    rng = jax.random.key(seed)
+    args = (jnp.asarray(ids), jnp.asarray(img), jnp.asarray(am), jnp.asarray(prop))
+    full = pizero.infer_action(params, cfg, rng, *args)
+    refined = pizero.infer_action_refined(
+        params, cfg, jax.random.key(seed + 1), *args, full, t_start=t_start
+    )
+    gap = float(np.mean(np.abs(np.asarray(refined) - np.asarray(full))))
+    finite = bool(np.isfinite(np.asarray(refined)).all())
+    if band is None:
+        _report("refine", "PASS" if finite else "FAIL",
+                f"refined(t={t_start})-vs-full chunk L1 {gap:.2e} "
+                "(report-only; set --refine-band to enforce)")
+        return finite
+    return _check("refine", finite and gap <= band,
+                  f"refined(t={t_start})-vs-full chunk L1 {gap:.2e} (band {band:.1e})")
+
+
 def stage_episodes(params, cfg_dict, model_cfg, episodes):
     """Closed-loop Simpler smoke (reference eval.py:60-179)."""
     try:
@@ -351,6 +385,7 @@ def self_test() -> bool:
     # the oracle is tight; the drift band is the documented serving budget)
     ok &= stage_oracle(params, cfg, band=1e-5)
     ok &= stage_drift(params, cfg, band=2.5e-3)
+    ok &= stage_refine(params, cfg, band=None)
 
     # 6) episode loop (skips without simpler_env)
     stage_episodes(None, None, cfg, 0)
@@ -376,6 +411,9 @@ def main():
                    help="cached-vs-naive mean-L1 budget (reference README.md:116)")
     p.add_argument("--drift-band", type=float, default=2.5e-3,
                    help="quantized-serving chunk-L1 budget")
+    p.add_argument("--refine-band", type=float, default=None,
+                   help="refined-tier (refine_from_prev) chunk-L1 budget; "
+                        "omitted = report-only")
     p.add_argument("--episodes", type=int, default=0,
                    help="closed-loop episodes to run when simpler_env exists")
     args = p.parse_args()
@@ -410,6 +448,7 @@ def main():
                            args.tokenizer)
         ok &= stage_oracle(params, model_cfg, args.oracle_band)
         ok &= stage_drift(params, model_cfg, args.drift_band)
+        ok &= stage_refine(params, model_cfg, args.refine_band)
         ok &= stage_episodes(params, cfg_dict, model_cfg, args.episodes)
 
     n_fail = sum(1 for _, s in _RESULTS if s == "FAIL")
