@@ -108,8 +108,11 @@ def main():
         "midpoint_5": dict(num_inference_steps=5, flow_integrator="midpoint"),
         "midpoint_3": dict(num_inference_steps=3, flow_integrator="midpoint"),
     }
+    only = sys.argv[1:]  # optional subset: bench_flow_steps.py name...
     base_chunk = None
     for name, kw in variants.items():
+        if only and name not in only and name != "euler_10":
+            continue
         chunk, times = chunk_and_times(dataclass_replace(cfg, **kw))
         if base_chunk is None:
             base_chunk = chunk
@@ -123,6 +126,42 @@ def main():
             "err_vs_fine": float(np.mean(np.abs(chunk - fine))),
         }
         print(json.dumps(row), flush=True)
+
+    # training-free refinement tier (pizero.infer_action_refined): each call
+    # warm-starts from the PREVIOUS chunk re-noised to t=0.5 and integrates
+    # [0.5, 1] — 5 velocity evals instead of 10. The chain itself is the
+    # steady-state control loop (chunk k refined from chunk k-1), so the
+    # chained latency is exactly what an episode's non-first steps pay.
+    if not only or "refined_t05" in only:
+        def chained_refined(params, rng, ids, img, am, prop, prev):
+            out = pizero.infer_action_refined(
+                params, cfg, rng, ids, img, am, prop, prev, t_start=0.5
+            )
+            return prop + (0.0 * out.mean()).astype(prop.dtype), out
+
+        jfn = jax.jit(chained_refined)
+        prev = jnp.asarray(base_chunk, jnp.bfloat16)
+        x, out = jfn(params, rng, ids, img, am, prop, prev)
+        refined_once = np.asarray(out, np.float32)  # refined FROM euler_10
+        for _ in range(WARMUP):
+            x, out = jfn(params, rng, ids, img, am, x, out)
+        _ = np.asarray(out[0, 0, 0])
+        times = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            for _ in range(CHAIN):
+                x, out = jfn(params, rng, ids, img, am, x, out)
+            _ = np.asarray(out[0, 0, 0])
+            times.append((time.perf_counter() - t0) * 1e3 / CHAIN)
+        print(json.dumps({
+            "variant": "refined_t05",
+            "ms_median": round(float(np.median(times)), 3),
+            "ms_min": round(float(np.min(times)), 3),
+            "ms_max": round(float(np.max(times)), 3),
+            "n": len(times),
+            "drift_vs_euler10": float(np.mean(np.abs(refined_once - base_chunk))),
+            "err_vs_fine": float(np.mean(np.abs(refined_once - fine))),
+        }), flush=True)
 
 
 if __name__ == "__main__":
