@@ -25,6 +25,14 @@ first byte —
   - newline-delimited JSON (arrays as nested lists): debuggable with
     netcat, kept for interop.
 
+Refined steady-state tier (opt-in, server `refine_from_prev=t` + client
+`prev_chunk` field): requests carrying the caller's previous action chunk
+are routed to `pizero.infer_action_refined` — warm-start from the
+re-noised previous chunk, integrate [t, 1], half the Euler loop at t=0.5
+(11.5 vs 13.5 sweep-ms, BENCH_FLOW_STEPS.json). The server stays
+stateless: the client owns episode boundaries by omitting `prev_chunk`
+on the first request.
+
 `scripts/serve.py` is the CLI.
 """
 
@@ -62,7 +70,15 @@ class BatchingPolicy:
     `infer_fn(batch: dict) -> np.ndarray [B, A, act_dim]` must accept a
     dict of stacked numpy arrays {input_ids, pixel_values,
     attention_mask, proprios} and is assumed jit-backed (called with each
-    padded bucket size exactly once to warm the cache)."""
+    padded bucket size exactly once to warm the cache).
+
+    `refine_fn` (optional) enables the refined steady-state tier: requests
+    carrying a `prev_chunk` array are routed to it (batch additionally
+    holds stacked prev_chunk [B, A, act_dim]); each queue drain is
+    partitioned into a fresh sub-batch and a refined sub-batch (two
+    different compiled programs — they cannot share an executable). With
+    refine_fn unset, prev_chunk fields are stripped and every request
+    gets the full flow."""
 
     def __init__(
         self,
@@ -70,8 +86,10 @@ class BatchingPolicy:
         batch_sizes: Sequence[int] = DEFAULT_BATCH_SIZES,
         batch_window_ms: float = 3.0,
         queue_size: int = 256,
+        refine_fn: Optional[Callable[[dict], np.ndarray]] = None,
     ):
         self.infer_fn = infer_fn
+        self.refine_fn = refine_fn
         self.batch_sizes = tuple(sorted(batch_sizes))
         self.max_batch = self.batch_sizes[-1]
         self.batch_window_s = batch_window_ms / 1e3
@@ -112,11 +130,17 @@ class BatchingPolicy:
 
     def warmup(self, example: dict):
         """Compile every bucket size up front (over a tunnel the first
-        compile is minutes — do it before accepting traffic)."""
+        compile is minutes — do it before accepting traffic). With the
+        refined tier enabled, each bucket's refined program is warmed too
+        (using the fresh result as the previous chunk)."""
         for b in self.batch_sizes:
             batch = {k: np.repeat(v[None], b, axis=0) for k, v in example.items()}
-            self.infer_fn(batch)
+            chunk = self.infer_fn(batch)
             log.info("warmed batch size %d", b)
+            if self.refine_fn is not None:
+                batch["prev_chunk"] = np.asarray(chunk, np.float32)
+                self.refine_fn(batch)
+                log.info("warmed refined batch size %d", b)
 
     # ------------------------------------------------------------------ #
     def _bucket(self, n: int) -> int:
@@ -144,6 +168,19 @@ class BatchingPolicy:
             self._run(reqs)
 
     def _run(self, reqs):
+        if self.refine_fn is None:
+            for r in reqs:
+                r.inputs.pop("prev_chunk", None)  # tier disabled: full flow
+            self._run_group(self.infer_fn, reqs)
+            return
+        fresh = [r for r in reqs if "prev_chunk" not in r.inputs]
+        refined = [r for r in reqs if "prev_chunk" in r.inputs]
+        if fresh:
+            self._run_group(self.infer_fn, fresh)
+        if refined:
+            self._run_group(self.refine_fn, refined)
+
+    def _run_group(self, fn, reqs):
         try:
             n = len(reqs)
             b = self._bucket(n)
@@ -154,7 +191,7 @@ class BatchingPolicy:
                 )
                 for k in reqs[0].inputs
             }
-            chunks = np.asarray(self.infer_fn(batch))
+            chunks = np.asarray(fn(batch))
             for i, r in enumerate(reqs):
                 r.result = chunks[i]
                 r.event.set()
@@ -178,6 +215,20 @@ _INPUT_DTYPES = {
     "attention_mask": np.int32,
     "proprios": np.float32,
 }
+# optional per-request fields. prev_chunk = the caller's previous action
+# chunk [A, act_dim]: opts this request into the refined steady-state tier
+# (pizero.infer_action_refined) when the server enables it — the SERVER
+# stays stateless; episode resets are client-side (omit the field on the
+# first request of an episode).
+_OPTIONAL_INPUT_DTYPES = {"prev_chunk": np.float32}
+
+
+def _coerce_inputs(msg: dict) -> dict:
+    inputs = {k: np.asarray(msg[k], dt) for k, dt in _INPUT_DTYPES.items()}
+    for k, dt in _OPTIONAL_INPUT_DTYPES.items():
+        if k in msg:
+            inputs[k] = np.asarray(msg[k], dt)
+    return inputs
 
 
 def pack_frame(arrays: dict) -> bytes:
@@ -230,11 +281,7 @@ class _Handler(socketserver.StreamRequestHandler):
             if first == _MAGIC[:1]:
                 try:
                     msg = read_frame(self.rfile, first)
-                    inputs = {
-                        k: np.asarray(msg[k], dt)
-                        for k, dt in _INPUT_DTYPES.items()
-                    }
-                    chunk = policy.submit(inputs)
+                    chunk = policy.submit(_coerce_inputs(msg))
                     resp = pack_frame(
                         {"action_chunk": np.asarray(chunk, np.float32)}
                     )
@@ -255,10 +302,7 @@ class _Handler(socketserver.StreamRequestHandler):
                 continue
             try:
                 msg = json.loads(line)
-                inputs = {
-                    k: np.asarray(msg[k], dt) for k, dt in _INPUT_DTYPES.items()
-                }
-                chunk = policy.submit(inputs)
+                chunk = policy.submit(_coerce_inputs(msg))
                 resp = {"action_chunk": np.asarray(chunk, np.float64).tolist()}
             except Exception as e:  # noqa: BLE001 — protocol-level error reply
                 resp = {"error": f"{type(e).__name__}: {e}"}

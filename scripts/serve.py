@@ -12,6 +12,11 @@ JSON — protocol in open_pi_zero_tpu/serving.py).
 streaming OOM-proof builder (fuse.build_serving_params) — for load
 testing / protocol work before real weights land.
 
+`refine_from_prev=0.5` (config override) enables the refined steady-state
+tier: requests that include a `prev_chunk` field are served by
+`infer_action_refined` (half the Euler loop at t=0.5; client-owned state,
+omit the field on an episode's first request).
+
 One v5e chip sustains ~147 chunks/s at batch 16 in the default mid-band
 layout (158 with the opt-in w8a8_siglip=true min-latency tier,
 BENCH_THROUGHPUT.json) — 100+ robot control loops at bridge's 5 Hz
@@ -89,22 +94,43 @@ def main():
         lambda p, r, i, pv, a, pr: pizero.infer_action(p, model_cfg, r, i, pv, a, pr)
     )
 
-    def infer_fn(batch: dict) -> np.ndarray:
+    def _model_args(batch: dict):
         rng_holder["rng"], sub = jax.random.split(rng_holder["rng"])
-        return np.asarray(
-            jit_infer(
-                params,
-                sub,
-                jnp.asarray(batch["input_ids"]),
-                jnp.asarray(batch["pixel_values"], dtype),
-                jnp.asarray(batch["attention_mask"]),
-                jnp.asarray(batch["proprios"], dtype),
-            ),
-            np.float32,
+        return (
+            params,
+            sub,
+            jnp.asarray(batch["input_ids"]),
+            jnp.asarray(batch["pixel_values"], dtype),
+            jnp.asarray(batch["attention_mask"]),
+            jnp.asarray(batch["proprios"], dtype),
         )
 
+    def infer_fn(batch: dict) -> np.ndarray:
+        return np.asarray(jit_infer(*_model_args(batch)), np.float32)
+
+    # refined steady-state tier: requests carrying prev_chunk warm-start
+    # the flow from the re-noised previous chunk (client-owned state; see
+    # open_pi_zero_tpu/serving.py). Enabled by refine_from_prev=t in (0,1).
+    refine_t = float(cfg.get("refine_from_prev", 0.0))
+    refine_fn = None
+    if refine_t > 0.0:
+        jit_refine = jax.jit(
+            lambda p, r, i, pv, a, pr, prev: pizero.infer_action_refined(
+                p, model_cfg, r, i, pv, a, pr, prev, t_start=refine_t
+            )
+        )
+
+        def refine_fn(batch: dict) -> np.ndarray:
+            return np.asarray(
+                jit_refine(
+                    *_model_args(batch), jnp.asarray(batch["prev_chunk"], dtype)
+                ),
+                np.float32,
+            )
+
     policy = BatchingPolicy(
-        infer_fn, batch_sizes=args.batch_sizes, batch_window_ms=args.window_ms
+        infer_fn, batch_sizes=args.batch_sizes, batch_window_ms=args.window_ms,
+        refine_fn=refine_fn,
     )
 
     import __graft_entry__ as graft

@@ -174,7 +174,8 @@ def test_serve_random_init_through_socket(tmp_path):
     env = dict(os.environ, PYTHONPATH=ROOT, JAX_PLATFORMS="cpu")
     proc = subprocess.Popen(
         [sys.executable, "scripts/serve.py", "--config", str(cfg_path),
-         "--random-init", "--port", str(port), "--batch-sizes", "1"],
+         "--random-init", "--port", str(port), "--batch-sizes", "1",
+         "refine_from_prev=0.5"],
         cwd=ROOT, env=env,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
@@ -205,6 +206,13 @@ def test_serve_random_init_through_socket(tmp_path):
         for binary in (True, False):
             chunk = request_action("127.0.0.1", port, obs, binary=binary)
             assert chunk.shape == (4, 7) and np.isfinite(chunk).all()
+        # refined steady-state tier: same observation + the previous chunk
+        # rides the request; served by infer_action_refined (t_start=0.5)
+        refined = request_action(
+            "127.0.0.1", port, {**obs, "prev_chunk": chunk}, binary=True
+        )
+        assert refined.shape == (4, 7) and np.isfinite(refined).all()
+        assert np.abs(refined - chunk).max() > 0  # not an echo
     finally:
         proc.terminate()
         proc.wait(timeout=30)

@@ -266,3 +266,106 @@ def test_binary_error_reply_and_connection_survives():
     finally:
         srv.shutdown()
         policy.stop()
+
+
+def test_policy_routes_refined_requests():
+    """With refine_fn set, each drain partitions into a fresh sub-batch and
+    a refined sub-batch (prev_chunk present); results come from the right
+    program and rows map back to their callers."""
+    calls = {"fresh": [], "refined": []}
+
+    def infer(batch):
+        calls["fresh"].append(batch["x"].shape[0])
+        assert "prev_chunk" not in batch
+        return np.tile(batch["x"][:, None, :], (1, 2, 1))
+
+    def refine(batch):
+        calls["refined"].append(batch["x"].shape[0])
+        return batch["prev_chunk"] + 1.0
+
+    policy = BatchingPolicy(
+        infer, batch_sizes=(1, 4), batch_window_ms=30, refine_fn=refine
+    )
+    try:
+        xs = [np.full((3,), i, np.float32) for i in range(4)]
+        prev = np.full((2, 3), 10.0, np.float32)
+        reqs = [
+            {"x": xs[0]},
+            {"x": xs[1], "prev_chunk": prev},
+            {"x": xs[2]},
+            {"x": xs[3], "prev_chunk": prev + 5},
+        ]
+        results = [None] * 4
+
+        def call(i):
+            results[i] = policy.submit(dict(reqs[i]))
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        while policy._q.qsize() < 4:
+            time.sleep(0.01)
+        policy.start()
+        for t in threads:
+            t.join(10)
+        np.testing.assert_array_equal(results[0], np.tile(xs[0], (2, 1)))
+        np.testing.assert_array_equal(results[2], np.tile(xs[2], (2, 1)))
+        np.testing.assert_array_equal(results[1], prev + 1)
+        np.testing.assert_array_equal(results[3], prev + 6)
+        # one drain -> one fresh sub-batch (2 reqs padded to 4) + one
+        # refined sub-batch (2 reqs padded to 4)
+        assert calls == {"fresh": [4], "refined": [4]}
+        assert policy.n_requests == 4 and policy.n_batches == 2
+    finally:
+        policy.stop()
+
+
+def test_policy_strips_prev_chunk_when_refine_disabled():
+    """A prev_chunk-carrying request against a server without the tier is
+    served by the full flow (forward-compatible clients, no crash)."""
+    def infer(batch):
+        assert "prev_chunk" not in batch
+        return np.tile(batch["x"][:, None, :], (1, 2, 1))
+
+    policy = BatchingPolicy(infer, batch_sizes=(1,), batch_window_ms=1).start()
+    try:
+        x = np.arange(3, dtype=np.float32)
+        out = policy.submit({"x": x, "prev_chunk": np.zeros((2, 3), np.float32)})
+        np.testing.assert_array_equal(out, np.tile(x, (2, 1)))
+    finally:
+        policy.stop()
+
+
+def test_prev_chunk_passes_through_both_codecs():
+    """prev_chunk rides the OPZ1 frame and the JSON line protocol to the
+    refined path end-to-end through the socket."""
+
+    def infer(batch):
+        p = batch["proprios"][:, 0, :]
+        return np.stack([p, 2 * p], axis=1)
+
+    def refine(batch):
+        return batch["prev_chunk"] * 10.0
+
+    policy = BatchingPolicy(
+        infer, batch_sizes=(1, 4), batch_window_ms=5, refine_fn=refine
+    ).start()
+    srv = ActionServer(("127.0.0.1", 0), policy)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    try:
+        obs = _obs()
+        obs["prev_chunk"] = np.arange(6, dtype=np.float32).reshape(2, 3)
+        want = obs["prev_chunk"] * 10
+        np.testing.assert_allclose(
+            request_action("127.0.0.1", port, obs, binary=True), want
+        )
+        np.testing.assert_allclose(
+            request_action("127.0.0.1", port, obs, binary=False), want, atol=1e-6
+        )
+        # without the field the same server runs the fresh path
+        fresh = request_action("127.0.0.1", port, _obs(), binary=True)
+        assert fresh.shape == (2, 3)
+    finally:
+        srv.shutdown()
+        policy.stop()
