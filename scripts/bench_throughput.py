@@ -43,6 +43,14 @@ def main():
         "measured 160.3 vs 158.4 chunks/s at B=16 on v5e — within noise, "
         "so the lower-drift weight-only int8 expert stays the default)",
     )
+    parser.add_argument(
+        "--refined", type=float, default=0.0, metavar="T_START",
+        help="steady-state throughput of the refined tier "
+        "(pizero.infer_action_refined): each chained call warm-starts from "
+        "the previous call's chunk re-noised to t_start — the fleet "
+        "steady-state where every robot sends its previous chunk "
+        "(serving.py prev_chunk protocol)",
+    )
     args = parser.parse_args()
 
     from open_pi_zero_tpu.config import PiZeroConfig
@@ -69,20 +77,45 @@ def main():
         img = jnp.asarray(img, jnp.bfloat16)
         prop = jnp.asarray(prop, jnp.bfloat16)
 
-        def chained(params, rng, ids, img, am, prop):
-            out = pizero.infer_action(params, cfg, rng, ids, img, am, prop)
-            return prop + (0.0 * out.mean()).astype(prop.dtype), out
+        if args.refined > 0.0:
+            # steady-state chain: call k's chunk is call k+1's warm-start, so
+            # the chunk itself carries the data dependency that serializes
+            # the chain (bench.py discipline — no block_until_ready on axon)
+            def chained(params, rng, ids, img, am, prop, prev):
+                return pizero.infer_action_refined(
+                    params, cfg, rng, ids, img, am, prop, prev,
+                    t_start=args.refined,
+                )
 
-        jfn = jax.jit(chained)
-        x, out = jfn(params, rng, ids, img, am, prop)
-        _ = np.asarray(out[0, 0, 0])
-        for _ in range(WARMUP):
-            x, out = jfn(params, rng, ids, img, am, x)
-        _ = np.asarray(out[0, 0, 0])
-        t0 = time.perf_counter()
-        for _ in range(CHAIN):
-            x, out = jfn(params, rng, ids, img, am, x)
-        _ = np.asarray(out[0, 0, 0])
+            jfn = jax.jit(chained)
+            prev = jax.jit(pizero.infer_action, static_argnums=1)(
+                params, cfg, rng, ids, img, am, prop
+            )
+            out = jfn(params, rng, ids, img, am, prop, prev)
+            _ = np.asarray(out[0, 0, 0])
+            for _ in range(WARMUP):
+                out = jfn(params, rng, ids, img, am, prop, out)
+            _ = np.asarray(out[0, 0, 0])
+            t0 = time.perf_counter()
+            for _ in range(CHAIN):
+                out = jfn(params, rng, ids, img, am, prop, out)
+            _ = np.asarray(out[0, 0, 0])
+            x = None
+        else:
+            def chained(params, rng, ids, img, am, prop):
+                out = pizero.infer_action(params, cfg, rng, ids, img, am, prop)
+                return prop + (0.0 * out.mean()).astype(prop.dtype), out
+
+            jfn = jax.jit(chained)
+            x, out = jfn(params, rng, ids, img, am, prop)
+            _ = np.asarray(out[0, 0, 0])
+            for _ in range(WARMUP):
+                x, out = jfn(params, rng, ids, img, am, x)
+            _ = np.asarray(out[0, 0, 0])
+            t0 = time.perf_counter()
+            for _ in range(CHAIN):
+                x, out = jfn(params, rng, ids, img, am, x)
+            _ = np.asarray(out[0, 0, 0])
         ms = (time.perf_counter() - t0) * 1e3 / CHAIN
         print(
             json.dumps(
@@ -91,6 +124,7 @@ def main():
                     "ms_per_call": round(ms, 3),
                     "chunks_per_s": round(b * 1e3 / ms, 1),
                     "ms_per_chunk": round(ms / b, 3),
+                    **({"refined_t": args.refined} if args.refined else {}),
                 }
             ),
             flush=True,
