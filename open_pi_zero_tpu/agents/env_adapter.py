@@ -42,6 +42,11 @@ class BaseEnvAdapter:
 
 
 def _get_simpler_image(env, obs: dict) -> np.ndarray:
+    # in-repo envs (envs/reach_env.py) carry the frame in the obs dict and
+    # expose it via env.get_image; real Simpler tasks go through the
+    # maniskill camera tree
+    if hasattr(env, "get_image"):
+        return env.get_image(obs)
     from simpler_env.utils.env.observation_utils import (
         get_image_from_maniskill2_obs_dict,
     )

@@ -1,0 +1,234 @@
+"""End-to-end closed-loop learning demonstration on SimplerLite.
+
+Proves the ENTIRE stack learns, not just that each stage runs: scripted
+expert -> RLDS demos written by data/rlds.py -> the unmodified production
+bridge pipeline (bridge_transform: gripper binarize + action relabel +
+bound-normalization) -> TrainAgent (jitted DP train step over the device
+mesh, flow-matching loss) -> orbax checkpoint -> EvalAgent episode loop
+through the real BridgeSimplerAdapter (Lanczos4 resize, proprio frame
+math, denormalization, euler->axangle) -> closed-loop success rate, the
+reference's acceptance metric (reference README.md:90-114,
+src/agent/eval.py:60-179). A random-init control policy is scored on the
+same episode seeds as the floor.
+
+Run on the CPU mesh (training a tiny model; the axon TPU decomposes fp32
+einsums to bf16 — CLAUDE.md):
+
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  PYTHONPATH=/root/repo python scripts/demo_closed_loop.py \
+      --workdir /tmp/opz_demo --out E2E_CLOSED_LOOP.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import time
+
+import numpy as np
+
+
+def model_geometry(hidden: int, layers: int) -> dict:
+    """Config-dict geometry block shared by train and eval (image 56x56,
+    patch 14 -> 16 image tokens; text budget 8 -> seq 24)."""
+    h2 = hidden // 2
+    return {
+        "vocab_size": 10_000,
+        "image_token_index": 500,
+        "pad_token_id": 0,
+        "max_image_text_tokens": 24,
+        "max_seq_len": 24,
+        "cond_steps": 1,
+        "horizon_steps": 4,
+        "action_dim": 7,
+        "proprio_dim": 7,
+        "num_inference_steps": 10,
+        "time_hidden_size": 2 * h2,
+        "mixture": {
+            "vlm": {"hidden_size": hidden, "intermediate_size": 2 * hidden,
+                    "cache": True, "rope_theta": 10000.0},
+            "proprio": {"hidden_size": h2, "intermediate_size": 2 * h2,
+                        "cache": True, "use_final_norm": True, "rope_theta": 100.0},
+            "action": {"hidden_size": h2, "intermediate_size": 2 * h2,
+                       "use_final_norm": True, "rope_theta": 100.0},
+        },
+        "vision": {"config": {
+            "hidden_size": h2, "intermediate_size": 2 * h2,
+            "num_hidden_layers": layers, "num_attention_heads": 4,
+            "image_size": 56, "patch_size": 14, "num_image_tokens": 16,
+        }},
+        "vision_projector": {"config": {"vision_config": {"projection_dim": hidden}}},
+        "joint": {"config": {
+            "num_hidden_layers": layers, "num_attention_heads": 4,
+            "num_key_value_heads": 1, "head_dim": max(16, hidden // 4),
+        }},
+    }
+
+
+def run_eval(cfg_geometry, params, stats_path, tokenizer, n_episodes, seed,
+             act_steps=4, refine_from_prev=0.0):
+    from open_pi_zero_tpu.agents.env_adapter import BridgeSimplerAdapter
+    from open_pi_zero_tpu.agents.eval import EvalAgent
+    from open_pi_zero_tpu.config import ConfigDict
+    from open_pi_zero_tpu.envs import ReachEnv
+
+    adapter = BridgeSimplerAdapter(
+        dataset_statistics_path=stats_path,
+        num_image_tokens=16,
+        image_size=(56, 56),
+        max_seq_len=24,
+        tokenizer=tokenizer,
+    )
+    cfg = ConfigDict({
+        "seed": seed,
+        "log_dir": "/tmp/opz_demo_eval",
+        "n_eval_episode": n_episodes,
+        "n_video": 0,
+        "record_video": False,
+        "act_steps": act_steps,
+        "refine_from_prev": refine_from_prev,
+        "env": {"task": "simpler_lite_reach"},  # first reset keys placement
+        **cfg_geometry,
+    })
+    env = ReachEnv(seed=seed)
+    agent = EvalAgent(cfg, env=env, adapter=adapter, params=params)
+    return agent.run()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/opz_demo")
+    ap.add_argument("--out", default=None, help="artifact JSON path")
+    ap.add_argument("--n-demos", type=int, default=300)
+    ap.add_argument("--n-updates", type=int, default=1500)
+    ap.add_argument("--n-eval-episodes", type=int, default=50)
+    ap.add_argument("--global-batch", type=int, default=64)
+    ap.add_argument("--hidden", type=int, default=128)
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--eval-seed", type=int, default=1000,
+                    help="episode layouts disjoint from the demo seed 0")
+    args = ap.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+    log = logging.getLogger("demo")
+    import jax
+
+    from open_pi_zero_tpu.config import ConfigDict
+    from open_pi_zero_tpu.envs import warm_tokenizer, write_demo_dataset
+    from open_pi_zero_tpu.processing import FakeTokenizer
+
+    os.makedirs(args.workdir, exist_ok=True)
+    t0 = time.time()
+
+    # ---- 1. expert demos -> RLDS (our writer) ----
+    data_dir = os.path.join(args.workdir, "rlds")
+    ds_dir = os.path.join(data_dir, "bridge_dataset")
+    if not os.path.exists(os.path.join(ds_dir, "features.json")):
+        expert_rate = write_demo_dataset(ds_dir, args.n_demos, seed=0)
+    else:
+        expert_rate = None
+        log.info("reusing demos at %s", ds_dir)
+    t_demos = time.time()
+
+    # ---- 2. train through the production pipeline ----
+    geometry = model_geometry(args.hidden, args.layers)
+    n_dev = jax.device_count()
+    per_dev = max(1, args.global_batch // n_dev)
+    train_cfg = ConfigDict({
+        "name": "simpler_lite_demo",
+        "seed": 0,
+        "log_dir": os.path.join(args.workdir, "train"),
+        "load_pretrained_weights": False,
+        "n_updates": args.n_updates,
+        "log_freq": 50,
+        "save_model_freq": 0,
+        "eval_freq": 0,
+        "global_batch_size": per_dev * n_dev,
+        "per_device_batch_size": per_dev,
+        "action_lr": args.lr,
+        "vlm_lr": args.lr,
+        "action_lr_scheduler": {"warmup_steps": min(100, args.n_updates // 5),
+                                "first_cycle_steps": args.n_updates, "min_lr": 1e-5},
+        "vlm_lr_scheduler": {"warmup_steps": min(100, args.n_updates // 5),
+                             "first_cycle_steps": args.n_updates, "min_lr": 1e-5},
+        "use_ema": True,
+        "ema_start": max(0, args.n_updates // 2),
+        **geometry,
+        "data": {"train": {
+            "dataset_mix": "bridge",
+            "data_path": data_dir,
+            "split": "train",
+            "window_size": 1,
+            "action_horizon": 4,
+            "skip_unlabeled": True,
+            "load_proprio": True,
+            "shuffle_buffer_size": 20_000,
+            "num_parallel_calls": 4,
+            "traj_transform_threads": 2,
+            "traj_read_threads": 2,
+            "resize_size": [56, 56],
+        }},
+    })
+    from open_pi_zero_tpu.agents.train import TrainAgent
+    from open_pi_zero_tpu.training import averaging as avg_lib
+
+    agent = TrainAgent(train_cfg)
+    warm_tokenizer(agent.processor.tokenizer)
+    state = agent.run()
+    t_train = time.time()
+
+    # ---- 3. export the pipeline's statistics for the eval adapter ----
+    stats = agent.dataset.dataset.dataset_statistics[0]
+    stats_path = os.path.join(args.workdir, "statistics.json")
+    with open(stats_path, "w") as f:
+        json.dump({"action": stats["action"], "proprio": stats["proprio"]}, f)
+
+    params = jax.device_get(avg_lib.eval_params(state.avg, state.params))
+
+    # ---- 4. closed-loop eval: trained vs random-init control ----
+    def fresh_tokenizer():
+        tok = FakeTokenizer(image_token_id=500)
+        warm_tokenizer(tok)
+        return tok
+
+    trained = run_eval(geometry, params, stats_path, fresh_tokenizer(),
+                       args.n_eval_episodes, args.eval_seed)
+    log.info("trained policy: %s", trained)
+
+    from open_pi_zero_tpu.config import pizero_config_from_dict
+    from open_pi_zero_tpu.models import pizero
+
+    rand_params = pizero.init_params(
+        jax.random.key(123), pizero_config_from_dict(ConfigDict(geometry))
+    )
+    control = run_eval(geometry, rand_params, stats_path, fresh_tokenizer(),
+                       args.n_eval_episodes, args.eval_seed)
+    log.info("random-init control: %s", control)
+
+    result = {
+        "task": "simpler_lite_reach (two blocks, language-conditioned)",
+        "n_demos": args.n_demos,
+        "n_updates": args.n_updates,
+        "n_eval_episodes": args.n_eval_episodes,
+        "expert_success_rate": expert_rate,
+        "trained_success_rate": trained["success_rate"],
+        "random_init_success_rate": control["success_rate"],
+        "model": {"hidden": args.hidden, "layers": args.layers,
+                  "params": int(sum(
+                      np.prod(x.shape) for x in jax.tree.leaves(params)))},
+        "timings_s": {"demos": round(t_demos - t0, 1),
+                      "train": round(t_train - t_demos, 1),
+                      "eval": round(time.time() - t_train, 1)},
+        "devices": n_dev,
+    }
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
