@@ -64,9 +64,12 @@ class RLDSInterleavedDataset:
                 skip_unlabeled=bool(config.get("skip_unlabeled", True)),
             ),
             frame_transform_kwargs=dict(
+                # `augment: false` disables train-time image augmentation
+                # (fixed-camera sim tasks: random_resized_crop perturbs the
+                # pixel<->world mapping the policy must read absolutely)
                 image_augment_kwargs=(
                     {"primary": PRIMARY_AUGMENT_KWARGS, "wrist": WRIST_AUGMENT_KWARGS}
-                    if train
+                    if train and bool(config.get("augment", True))
                     else None
                 ),
                 resize_size=dict(primary=resize, wrist=resize),

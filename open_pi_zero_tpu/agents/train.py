@@ -401,5 +401,8 @@ class TrainAgent:
         ckpt_lib.save_checkpoint(
             path, self.state,
             extra={"cnt_batch": self.cnt_batch, "wandb_id": self._wandb_id},
+            # eval-ready export (EMA-blended) so EvalAgent/serving can load
+            # this directory directly via restore_params
+            eval_params=avg_lib.eval_params(self.state.avg, self.state.params),
         )
         log.info("saved checkpoint %s", path)

@@ -22,15 +22,29 @@ STATE_DIR = "state"
 META_FILE = "meta.json"
 
 
-def save_checkpoint(path: str, state: TrainState, extra: Optional[dict] = None):
+def save_checkpoint(
+    path: str,
+    state: TrainState,
+    extra: Optional[dict] = None,
+    eval_params: Optional[dict] = None,
+):
     """A checkpoint is COMPLETE only when both the orbax state dir and
     meta.json exist (auto-resume checks both, agents/train.py). meta.json
     is written atomically (tmp + rename) so a preemption can never leave a
-    truncated file that parses as valid-but-empty metadata."""
+    truncated file that parses as valid-but-empty metadata.
+
+    `eval_params` (typically the EMA-blended averaging.eval_params) is
+    additionally exported under `params/` so the SAME checkpoint directory
+    feeds both auto-resume (full state) and EvalAgent/serving
+    (restore_params) — the reference's .pt bundles model+EMA+optimizers in
+    one file for the same reason (reference src/agent/train.py:497-560).
+    Written before meta.json, which stays the completion marker."""
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
         # collective: EVERY process must call save (orbax barriers inside)
         ckptr.save(os.path.join(path, STATE_DIR), state, force=True)
+        if eval_params is not None:
+            ckptr.save(os.path.join(path, "params"), eval_params, force=True)
     if jax.process_index() == 0:
         extra = dict(extra or {})
         extra.update(_quant_meta(state.params))
@@ -108,6 +122,16 @@ def save_params(path: str, params: dict):
 
 def restore_params(path: str, abstract_params: dict) -> dict:
     path = os.path.abspath(path)
+    if not os.path.exists(os.path.join(path, "params")) and os.path.exists(
+        os.path.join(path, STATE_DIR)
+    ):
+        raise FileNotFoundError(
+            f"checkpoint {path} holds a full TrainState ('{STATE_DIR}/') but "
+            "no eval-params export ('params/') — it was saved before "
+            "TrainAgent exported eval params alongside the state. Load it "
+            "with restore_checkpoint(...) and take "
+            "averaging.eval_params(state.avg, state.params), or re-save."
+        )
     abstract = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), abstract_params
     )

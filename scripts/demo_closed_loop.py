@@ -165,6 +165,8 @@ def main():
             "action_horizon": 4,
             "skip_unlabeled": True,
             "load_proprio": True,
+            "augment": False,  # fixed camera: crops corrupt pixel<->world
+
             "shuffle_buffer_size": 20_000,
             "num_parallel_calls": 4,
             "traj_transform_threads": 2,

@@ -179,6 +179,31 @@ class TestCheckpoint:
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(out)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_train_checkpoint_carries_eval_params(self, tmp_path):
+        """One checkpoint dir must feed BOTH auto-resume (full TrainState)
+        and EvalAgent/serving (restore_params) — the train->eval handoff
+        the closed-loop demo exercises. A state-only legacy checkpoint must
+        fail restore_params with a clear pointer, not a raw orbax error."""
+        import pytest
+
+        from open_pi_zero_tpu.training import averaging as avg_lib
+
+        cfg = tiny_pizero_config()
+        tcfg = TrainingConfig(use_ema=True, ema_start=0)
+        params = pizero.init_params(jax.random.key(5), cfg)
+        tx = opt_lib.build_optimizer(tcfg, params)
+        state = init_train_state(params, tx, jax.random.key(1), tcfg)
+
+        ev = avg_lib.eval_params(state.avg, state.params)
+        save_checkpoint(str(tmp_path / "full"), state, eval_params=ev)
+        out = restore_params(str(tmp_path / "full"), params)
+        for a, b in zip(jax.tree.leaves(ev), jax.tree.leaves(out)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        save_checkpoint(str(tmp_path / "legacy"), state)
+        with pytest.raises(FileNotFoundError, match="eval-params export"):
+            restore_params(str(tmp_path / "legacy"), params)
+
     def test_quant_layout_version_stamped_and_checked(self, tmp_path):
         """4-bit payloads save with a packing-layout version in meta; a
         payload with an old/absent version fails LOUDLY at restore (the
