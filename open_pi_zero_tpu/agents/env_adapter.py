@@ -69,6 +69,7 @@ class SimplerAdapter(BaseEnvAdapter):
         action_normalization_type: str = "bound",
         proprio_normalization_type: str = "bound",
         tokenizer=None,
+        image_token_index: int = 257152,
     ):
         assert action_normalization_type in ("bound", "gaussian")
         assert proprio_normalization_type in ("bound", "gaussian")
@@ -81,9 +82,32 @@ class SimplerAdapter(BaseEnvAdapter):
         self.dataset_statistics = load_statistics_file(dataset_statistics_path)
 
         if tokenizer is None:
-            from open_pi_zero_tpu.processing import load_paligemma_tokenizer
+            import os
 
-            tokenizer = load_paligemma_tokenizer(pretrained_model_path)
+            if pretrained_model_path and os.path.exists(
+                os.path.expanduser(str(pretrained_model_path))
+            ):
+                from open_pi_zero_tpu.processing import load_paligemma_tokenizer
+
+                tokenizer = load_paligemma_tokenizer(
+                    os.path.expanduser(str(pretrained_model_path))
+                )
+            else:
+                # hermetic fallback (mirrors TrainAgent._load_tokenizer):
+                # config-driven SimplerLite runs without hub access use the
+                # deterministic word-level FakeTokenizer, pre-warmed so
+                # train/eval vocabularies agree
+                import logging
+
+                from open_pi_zero_tpu.envs import warm_tokenizer
+                from open_pi_zero_tpu.processing import FakeTokenizer
+
+                logging.getLogger(__name__).warning(
+                    "pretrained_model_path missing; using FakeTokenizer "
+                    "(hermetic SimplerLite/eval smoke only)"
+                )
+                tokenizer = FakeTokenizer(image_token_id=int(image_token_index))
+                warm_tokenizer(tokenizer)
         self.processor = VLAProcessor(
             tokenizer,
             num_image_tokens=num_image_tokens,

@@ -74,9 +74,17 @@ class EvalAgent:
         # ---- env ----
         self.env = env
         if self.env is None:
-            import simpler_env
+            task = str(cfg.env.task)
+            if task.startswith("simpler_lite"):
+                # in-repo kinematic env (envs/reach_env.py): closed-loop
+                # smoke/learning runs without SimplerEnv installed
+                from open_pi_zero_tpu.envs import ReachEnv
 
-            self.env = simpler_env.make(str(cfg.env.task))
+                self.env = ReachEnv(seed=self.seed)
+            else:
+                import simpler_env
+
+                self.env = simpler_env.make(task)
         self.adapter = adapter
         if self.adapter is None:
             acfg = dict(cfg.env.adapter)

@@ -32,15 +32,15 @@ from open_pi_zero_tpu.utils.geometry import mat2euler, quat2mat
 # ---- geometry of the task (world units are meters-ish) ----
 WORKSPACE = (-0.22, 0.22)  # square tabletop, both axes
 BLOCK_RANGE = 0.15  # block centers within [-r, r]^2
-BLOCK_HALF = 0.024  # half side of a block square
-EEF_RADIUS = 0.02  # rendered end-effector disc
+BLOCK_HALF = 0.032  # half side of a block square (~7 px at the model's 56)
+EEF_RADIUS = 0.024  # rendered end-effector disc
 MAX_STEP = 0.03  # per-step |dx|,|dy| clamp (like Simpler's action scale)
 SUCCESS_RADIUS = 0.05
 MIN_BLOCK_SEP = 0.16  # keeps the two targets unambiguous (> 2*SUCCESS_RADIUS)
 MIN_START_DIST = 0.09  # no episode starts already solved
 EEF_Z = 0.05
 
-COLORS = {"red": (200, 30, 30), "green": (30, 160, 40)}
+COLORS = {"red": (230, 25, 25), "green": (25, 200, 35)}
 INSTRUCTIONS = tuple(f"reach the {c} block" for c in COLORS)  # fixed order
 
 # Constant eef orientation: rotation of +90 deg about y, whose matrix IS the

@@ -147,6 +147,43 @@ def test_warm_tokenizer_order_independent():
 
 
 @pytest.mark.slow
+def test_config_driven_simpler_lite_eval(tmp_path):
+    """configs/eval/simpler_lite.yaml end-to-end with NOTHING injected:
+    EvalAgent builds the ReachEnv from env.task, the bridge adapter falls
+    back to the warmed FakeTokenizer (no hub access), and params load from
+    a saved checkpoint dir."""
+    import jax
+
+    from open_pi_zero_tpu.agents.eval import EvalAgent
+    from open_pi_zero_tpu.config import load_config, pizero_config_from_dict
+    from open_pi_zero_tpu.models import pizero
+    from open_pi_zero_tpu.training import checkpoint as ckpt_lib
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt = str(tmp_path / "ckpt")
+    cfg = load_config(
+        os.path.join(repo, "configs/eval/simpler_lite.yaml"),
+        overrides=[
+            "n_eval_episode=1",
+            f"log_dir={tmp_path}",
+            f"checkpoint_path={ckpt}",
+            "num_inference_steps=2",
+            "env.adapter.dataset_statistics_path="
+            + os.path.join(repo, "configs/statistics/bridge_statistics.json"),
+        ],
+    )
+    params = pizero.init_params(jax.random.key(0), pizero_config_from_dict(cfg))
+    ckpt_lib.save_params(ckpt, params)
+
+    agent = EvalAgent(cfg)
+    from open_pi_zero_tpu.envs import ReachEnv
+
+    assert isinstance(agent.env, ReachEnv)
+    result = agent.run()
+    assert result["n_episodes"] == 1
+
+
+@pytest.mark.slow
 def test_demo_closed_loop_script(tmp_path):
     """The full demo script at miniature scale: demos -> production bridge
     pipeline -> TrainAgent -> orbax save -> EvalAgent closed loop through
