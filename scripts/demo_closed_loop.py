@@ -101,13 +101,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/opz_demo")
     ap.add_argument("--out", default=None, help="artifact JSON path")
-    ap.add_argument("--n-demos", type=int, default=300)
-    ap.add_argument("--n-updates", type=int, default=1500)
-    ap.add_argument("--n-eval-episodes", type=int, default=50)
-    ap.add_argument("--global-batch", type=int, default=64)
-    ap.add_argument("--hidden", type=int, default=128)
-    ap.add_argument("--layers", type=int, default=4)
-    ap.add_argument("--lr", type=float, default=3e-4)
+    # defaults = the measured recipe behind E2E_CLOSED_LOOP.json (95%
+    # success on 40 unseen layouts; loss breaks ~0.13 -> 0.07 around
+    # update 5-6k, so 8k updates is the budget that actually learns)
+    ap.add_argument("--n-demos", type=int, default=600)
+    ap.add_argument("--n-updates", type=int, default=8000)
+    ap.add_argument("--n-eval-episodes", type=int, default=40)
+    ap.add_argument("--global-batch", type=int, default=32)
+    ap.add_argument("--hidden", type=int, default=96)
+    ap.add_argument("--layers", type=int, default=3)
+    ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--eval-seed", type=int, default=1000,
                     help="episode layouts disjoint from the demo seed 0")
     args = ap.parse_args()
