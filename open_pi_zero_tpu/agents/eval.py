@@ -77,10 +77,16 @@ class EvalAgent:
             task = str(cfg.env.task)
             if task.startswith("simpler_lite"):
                 # in-repo kinematic env (envs/reach_env.py): closed-loop
-                # smoke/learning runs without SimplerEnv installed
+                # smoke/learning runs without SimplerEnv installed; the
+                # _multi suffix switches the instruction mid-episode
                 from open_pi_zero_tpu.envs import ReachEnv
 
-                self.env = ReachEnv(seed=self.seed)
+                multi = task.endswith("_multi")
+                self.env = ReachEnv(
+                    seed=self.seed,
+                    multi_subtask=multi,
+                    max_steps=96 if multi else 60,
+                )
             else:
                 import simpler_env
 

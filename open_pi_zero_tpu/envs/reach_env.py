@@ -68,10 +68,18 @@ class ReachEnv:
         seed: int = 0,
         render_size: int = 112,
         max_steps: int = 60,
+        multi_subtask: bool = False,
     ):
+        """multi_subtask: after the instructed block is reached the
+        instruction SWITCHES to the other color mid-episode (the reference's
+        multi-task envs do this, reference src/agent/eval.py:137-142);
+        success requires completing both legs. Exercises the eval loop's
+        instruction re-tokenization and the policy's per-chunk language
+        conditioning."""
         self.base_seed = int(seed)
         self.render_size = int(render_size)
         self.max_steps = int(max_steps)
+        self.multi_subtask = bool(multi_subtask)
         # pixel-center world coordinates, cached for rendering masks
         lo, hi = WORKSPACE
         centers = lo + (np.arange(self.render_size) + 0.5) * (hi - lo) / self.render_size
@@ -99,6 +107,7 @@ class ReachEnv:
         self.target_idx = int(rng.integers(2))
         self.instruction = INSTRUCTIONS[self.target_idx]
         self.t = 0
+        self._phase = 0
         self._success = False
         return self._obs(), {}
 
@@ -118,7 +127,14 @@ class ReachEnv:
         self.eef = np.clip(self.eef + delta, lo, hi)
         self.t += 1
         reached = np.linalg.norm(self.eef - self.target_xy) < SUCCESS_RADIUS
-        self._success = self._success or bool(reached)  # latched, like Simpler
+        if reached and self.multi_subtask and self._phase == 0:
+            # leg 1 done: switch the instruction to the other block; overall
+            # success is only latched when the second leg completes
+            self._phase = 1
+            self.target_idx = 1 - self.target_idx
+            self.instruction = INSTRUCTIONS[self.target_idx]
+        elif reached:
+            self._success = True  # latched, like Simpler
         truncated = self.t >= self.max_steps
         return self._obs(), float(reached), self._success, truncated, {}
 

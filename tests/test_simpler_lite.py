@@ -73,6 +73,24 @@ def test_blocks_separated_and_not_presolved():
         assert not env._success
 
 
+def test_multi_subtask_switches_instruction_and_requires_both_legs():
+    env = ReachEnv(seed=4, multi_subtask=True, max_steps=96)
+    obs, _ = env.reset(options={"obj_init_options": {"episode_id": 1}})
+    first = env.get_language_instruction()
+    rng = np.random.default_rng(0)
+    switched_at = None
+    while True:
+        obs, _, success, trunc, _ = env.step(scripted_expert(env, rng))
+        if switched_at is None and env.get_language_instruction() != first:
+            switched_at = env.t
+            assert not success  # leg 1 alone must NOT latch success
+        if trunc:
+            break
+    assert switched_at is not None, "instruction never switched"
+    assert success, "expert should complete both legs"
+    assert {first, env.get_language_instruction()} == set(INSTRUCTIONS)
+
+
 def test_bridge_proprio_matches_adapter():
     """The demo recorder's proprio formula must be byte-identical to what
     BridgeSimplerAdapter computes at eval time (train==eval proprio)."""
