@@ -76,17 +76,11 @@ class EvalAgent:
         if self.env is None:
             task = str(cfg.env.task)
             if task.startswith("simpler_lite"):
-                # in-repo kinematic env (envs/reach_env.py): closed-loop
-                # smoke/learning runs without SimplerEnv installed; the
-                # _multi suffix switches the instruction mid-episode
-                from open_pi_zero_tpu.envs import ReachEnv
+                # in-repo kinematic envs (envs/): closed-loop smoke and
+                # learning runs without SimplerEnv installed
+                from open_pi_zero_tpu.envs import make_env
 
-                multi = task.endswith("_multi")
-                self.env = ReachEnv(
-                    seed=self.seed,
-                    multi_subtask=multi,
-                    max_steps=96 if multi else 60,
-                )
+                self.env = make_env(task, seed=self.seed)
             else:
                 import simpler_env
 

@@ -9,6 +9,10 @@ a closed-loop success rate, the reference's acceptance metric
 (reference README.md:90-114).
 """
 
+from open_pi_zero_tpu.envs.pick_place_env import (  # noqa: F401
+    PickPlaceEnv,
+    pick_place_expert,
+)
 from open_pi_zero_tpu.envs.reach_env import (  # noqa: F401
     INSTRUCTIONS,
     ReachEnv,
@@ -18,3 +22,24 @@ from open_pi_zero_tpu.envs.reach_env import (  # noqa: F401
     warm_tokenizer,
     write_demo_dataset,
 )
+
+# demo-collection registry: task -> env class, scripted expert, horizon
+TASKS = {
+    "reach": dict(env=ReachEnv, expert=scripted_expert, max_steps=60),
+    "pick_place": dict(env=PickPlaceEnv, expert=pick_place_expert, max_steps=96),
+}
+
+
+def make_env(task: str, seed: int = 0):
+    """Eval-config env factory (EvalAgent routes `simpler_lite*` tasks
+    here; real Simpler task names go to simpler_env.make)."""
+    if task == "simpler_lite_reach":
+        return ReachEnv(seed=seed)
+    if task == "simpler_lite_reach_multi":
+        return ReachEnv(seed=seed, multi_subtask=True, max_steps=96)
+    if task == "simpler_lite_pick_place":
+        return PickPlaceEnv(seed=seed)
+    raise ValueError(
+        f"unknown simpler_lite task {task!r}; known: simpler_lite_reach, "
+        "simpler_lite_reach_multi, simpler_lite_pick_place"
+    )

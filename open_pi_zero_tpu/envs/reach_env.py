@@ -183,15 +183,29 @@ def collect_demos(
     seed: int = 0,
     render_size: int = 112,
     hold_steps: int = 4,
-    max_steps: int = 60,
+    max_steps: Optional[int] = None,
+    task: str = "reach",
 ) -> Tuple[List[dict], float]:
-    """Roll the expert; returns (episodes in the bridge_dataset RLDS step
-    schema, expert success rate). Each episode keeps `hold_steps` stay-at-
-    target frames after first success so the policy also learns to hold
-    position (keeps success latched under closed-loop chunked control)."""
+    """Roll the task's expert; returns (episodes in the bridge_dataset RLDS
+    step schema, expert success rate). Each episode keeps `hold_steps`
+    stay-put frames after first success so the policy also learns to hold
+    position (keeps success latched under closed-loop chunked control).
+
+    Expert actions are recorded in the RAW bridge dataset convention
+    (gripper 1.0 open / 0.0 closed); the env is stepped with the SAME
+    conversion the adapter applies at eval time (gripper binarize ->
+    +1/-1, env_adapter.py:169-171), so demo dynamics match eval dynamics."""
     import tensorflow as tf
 
-    env = ReachEnv(seed=seed, render_size=render_size, max_steps=max_steps)
+    from open_pi_zero_tpu.envs import TASKS
+
+    spec = TASKS[task]
+    env = spec["env"](
+        seed=seed,
+        render_size=render_size,
+        max_steps=int(max_steps or spec["max_steps"]),
+    )
+    expert = spec["expert"]
     episodes, successes = [], []
     for ep_id in range(n_episodes):
         obs, _ = env.reset(options={"obj_init_options": {"episode_id": ep_id}})
@@ -199,11 +213,12 @@ def collect_demos(
         images, states, actions = [], [], []
         reached_at = None
         while True:
-            act = scripted_expert(env, rng)
+            act = expert(env, rng)
             images.append(tf.io.encode_jpeg(obs["image"]).numpy())
             states.append(bridge_proprio(obs))
             actions.append(act)
-            obs, _, success, truncated, _ = env.step(act)
+            cmd = np.concatenate([act[:6], [2.0 * (act[6] > 0.5) - 1.0]])
+            obs, _, success, truncated, _ = env.step(cmd)
             if success and reached_at is None:
                 reached_at = env.t
             done = truncated or (reached_at is not None and env.t >= reached_at + hold_steps)
@@ -223,7 +238,8 @@ def collect_demos(
                         "state": np.stack(states),
                     },
                     "action": np.stack(actions),
-                    "language_instruction": [env.instruction.encode()] * len(images),
+                    "language_instruction": [env.get_language_instruction().encode()]
+                    * len(images),
                 },
                 "episode_metadata": {"file_path": f"/sim/ep{ep_id}".encode()},
             }
@@ -237,7 +253,8 @@ def write_demo_dataset(
     seed: int = 0,
     render_size: int = 112,
     shards: int = 4,
-    max_steps: int = 60,
+    max_steps: Optional[int] = None,
+    task: str = "reach",
 ) -> float:
     """Collect expert demos and write them as a `bridge_dataset` RLDS dir
     (TFRecord shards + features.json + dataset_info.json) — byte-compatible
@@ -247,7 +264,8 @@ def write_demo_dataset(
     from open_pi_zero_tpu.data import rlds
 
     episodes, expert_rate = collect_demos(
-        n_episodes, seed=seed, render_size=render_size, max_steps=max_steps
+        n_episodes, seed=seed, render_size=render_size, max_steps=max_steps,
+        task=task,
     )
     leaves = [
         rlds.LeafSpec(
@@ -270,10 +288,11 @@ def warm_tokenizer(tokenizer) -> None:
     FakeTokenizer hands out ids in first-seen order (processing.py:148-157);
     warming both the train-side and eval-side tokenizers makes their
     vocabularies identical regardless of data-shuffle order."""
+    from open_pi_zero_tpu.envs.pick_place_env import INSTRUCTION as PP_INSTRUCTION
     from open_pi_zero_tpu.processing import IMAGE_TOKEN
 
     # _encode needs the image special token registered (the processor
     # normally does this); registering twice is a no-op
     tokenizer.add_special_tokens({"additional_special_tokens": [IMAGE_TOKEN]})
-    for s in INSTRUCTIONS:
+    for s in (*INSTRUCTIONS, PP_INSTRUCTION):
         tokenizer._encode(s)

@@ -68,11 +68,11 @@ def model_geometry(hidden: int, layers: int) -> dict:
 
 
 def run_eval(cfg_geometry, params, stats_path, tokenizer, n_episodes, seed,
-             act_steps=4, refine_from_prev=0.0):
+             act_steps=4, refine_from_prev=0.0, task="reach"):
     from open_pi_zero_tpu.agents.env_adapter import BridgeSimplerAdapter
     from open_pi_zero_tpu.agents.eval import EvalAgent
     from open_pi_zero_tpu.config import ConfigDict
-    from open_pi_zero_tpu.envs import ReachEnv
+    from open_pi_zero_tpu.envs import make_env
 
     adapter = BridgeSimplerAdapter(
         dataset_statistics_path=stats_path,
@@ -89,10 +89,10 @@ def run_eval(cfg_geometry, params, stats_path, tokenizer, n_episodes, seed,
         "record_video": False,
         "act_steps": act_steps,
         "refine_from_prev": refine_from_prev,
-        "env": {"task": "simpler_lite_reach"},  # first reset keys placement
+        "env": {"task": f"simpler_lite_{task}"},  # first reset keys placement
         **cfg_geometry,
     })
-    env = ReachEnv(seed=seed)
+    env = make_env(f"simpler_lite_{task}", seed=seed)
     agent = EvalAgent(cfg, env=env, adapter=adapter, params=params)
     return agent.run()
 
@@ -104,6 +104,7 @@ def main():
     # defaults = the measured recipe behind E2E_CLOSED_LOOP.json (95%
     # success on 40 unseen layouts; loss breaks ~0.13 -> 0.07 around
     # update 5-6k, so 8k updates is the budget that actually learns)
+    ap.add_argument("--task", default="reach", choices=["reach", "pick_place"])
     ap.add_argument("--n-demos", type=int, default=600)
     ap.add_argument("--n-updates", type=int, default=8000)
     ap.add_argument("--n-eval-episodes", type=int, default=40)
@@ -130,7 +131,7 @@ def main():
     data_dir = os.path.join(args.workdir, "rlds")
     ds_dir = os.path.join(data_dir, "bridge_dataset")
     if not os.path.exists(os.path.join(ds_dir, "features.json")):
-        expert_rate = write_demo_dataset(ds_dir, args.n_demos, seed=0)
+        expert_rate = write_demo_dataset(ds_dir, args.n_demos, seed=0, task=args.task)
     else:
         expert_rate = None
         log.info("reusing demos at %s", ds_dir)
@@ -200,7 +201,7 @@ def main():
         return tok
 
     trained = run_eval(geometry, params, stats_path, fresh_tokenizer(),
-                       args.n_eval_episodes, args.eval_seed)
+                       args.n_eval_episodes, args.eval_seed, task=args.task)
     log.info("trained policy: %s", trained)
 
     from open_pi_zero_tpu.config import pizero_config_from_dict
@@ -210,11 +211,11 @@ def main():
         jax.random.key(123), pizero_config_from_dict(ConfigDict(geometry))
     )
     control = run_eval(geometry, rand_params, stats_path, fresh_tokenizer(),
-                       args.n_eval_episodes, args.eval_seed)
+                       args.n_eval_episodes, args.eval_seed, task=args.task)
     log.info("random-init control: %s", control)
 
     result = {
-        "task": "simpler_lite_reach (two blocks, language-conditioned)",
+        "task": f"simpler_lite_{args.task}",
         "n_demos": args.n_demos,
         "n_updates": args.n_updates,
         "n_eval_episodes": args.n_eval_episodes,

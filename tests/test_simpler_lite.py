@@ -91,6 +91,71 @@ def test_multi_subtask_switches_instruction_and_requires_both_legs():
     assert {first, env.get_language_instruction()} == set(INSTRUCTIONS)
 
 
+class TestPickPlace:
+    def _run_expert(self, env, ep):
+        from open_pi_zero_tpu.envs import pick_place_expert
+
+        obs, _ = env.reset(options={"obj_init_options": {"episode_id": ep}})
+        rng = np.random.default_rng(ep)
+        closed_seen = False
+        while True:
+            a = pick_place_expert(env, rng)
+            cmd = np.concatenate([a[:6], [2.0 * (a[6] > 0.5) - 1.0]])
+            obs, _, success, trunc, _ = env.step(cmd)
+            closed_seen = closed_seen or not env.gripper_open
+            if trunc:
+                return success, closed_seen
+
+    def test_expert_grasps_carries_releases(self):
+        from open_pi_zero_tpu.envs import PickPlaceEnv
+
+        env = PickPlaceEnv(seed=2)
+        for ep in range(8):
+            success, closed_seen = self._run_expert(env, ep)
+            assert success and closed_seen
+
+    def test_release_outside_zone_is_not_success(self):
+        from open_pi_zero_tpu.envs import PickPlaceEnv
+        from open_pi_zero_tpu.envs import pick_place_env as pp
+
+        env = PickPlaceEnv(seed=3)
+        env.reset(options={"obj_init_options": {"episode_id": 0}})
+        # teleport-grasp, then release far from the zone
+        env.eef = env.block.copy()
+        env.step(np.concatenate([np.zeros(6), [-1.0]]))  # close
+        assert env.attached
+        far = env.zone + 4 * pp.ZONE_RADIUS
+        env.eef = np.clip(far, *pp.WORKSPACE)
+        env.block = env.eef.copy()
+        env.step(np.concatenate([np.zeros(6), [1.0]]))  # open
+        assert not env.attached and not env._success
+
+    def test_demo_gripper_dim_is_informative(self):
+        """Unlike reach (gripper constant 1.0), pick-place demos must carry
+        BOTH raw gripper values, and the proprio gripper channel must
+        reflect open/closed."""
+        from open_pi_zero_tpu.envs import collect_demos
+
+        eps, rate = collect_demos(4, seed=0, task="pick_place")
+        assert rate == 1.0
+        acts = np.concatenate([np.asarray(e["steps"]["action"]) for e in eps])
+        assert set(np.unique(acts[:, -1])) == {0.0, 1.0}
+        states = np.concatenate(
+            [np.asarray(e["steps"]["observation"]["state"]) for e in eps]
+        )
+        assert set(np.unique(states[:, -1])) == {0.0, 1.0}
+
+    def test_make_env_dispatch(self):
+        from open_pi_zero_tpu.envs import PickPlaceEnv, ReachEnv, make_env
+
+        assert isinstance(make_env("simpler_lite_reach"), ReachEnv)
+        m = make_env("simpler_lite_reach_multi")
+        assert isinstance(m, ReachEnv) and m.multi_subtask
+        assert isinstance(make_env("simpler_lite_pick_place"), PickPlaceEnv)
+        with pytest.raises(ValueError):
+            make_env("simpler_lite_nope")
+
+
 def test_bridge_proprio_matches_adapter():
     """The demo recorder's proprio formula must be byte-identical to what
     BridgeSimplerAdapter computes at eval time (train==eval proprio)."""
