@@ -90,10 +90,39 @@ def _setup_and_warmup():
     return jfn, params, rng, ids, img, am, prop
 
 
+def _wait_for_backend(max_tries: int = 4, sleep_s: float = 75.0) -> None:
+    """The axon tunnel occasionally refuses backend init (UNAVAILABLE:
+    'TPU backend setup/compile error') for minutes at a time — observed as
+    a transient outage, not a code failure. Retry with backoff so a
+    driver-invoked bench run survives it; clear cached backend state
+    between attempts (a failed init can be memoized)."""
+    import sys
+
+    for i in range(max_tries - 1):
+        try:
+            jax.devices()
+            return
+        except RuntimeError as e:
+            if "UNAVAILABLE" not in str(e) and "initialize backend" not in str(e):
+                raise
+            print(
+                f"[bench] backend unavailable (attempt {i + 1}/{max_tries}), "
+                f"retrying in {sleep_s:.0f}s: {e}",
+                file=sys.stderr,
+            )
+            try:
+                jax.clear_backends()
+            except Exception:
+                pass
+            time.sleep(sleep_s)
+    jax.devices()  # last attempt: let a real failure raise
+
+
 def main():
     import gc
     import sys
 
+    _wait_for_backend()
     state = None
     try:
         state = _setup_and_warmup()

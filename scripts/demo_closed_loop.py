@@ -114,6 +114,9 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--eval-seed", type=int, default=1000,
                     help="episode layouts disjoint from the demo seed 0")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the newest checkpoint in --workdir "
+                         "(raise --n-updates past the finished run's count)")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -160,6 +163,7 @@ def main():
                              "first_cycle_steps": args.n_updates, "min_lr": 1e-5},
         "use_ema": True,
         "ema_start": max(0, args.n_updates // 2),
+        "resume_checkpoint_path": "auto" if args.resume else None,
         **geometry,
         "data": {"train": {
             "dataset_mix": "bridge",
