@@ -59,7 +59,11 @@ class EvalAgent:
         # (pizero.infer_action_refined) — round(N * (1-t_start)) velocity
         # evals instead of N. Off by default (0.0): opt-in speed tier whose
         # Simpler-success impact must be validated with real weights
-        # (scripts/verify_checkpoint.py hour-one procedure).
+        # (scripts/verify_checkpoint.py hour-one procedure). Measured on
+        # SimplerLite (E2E_TIER_SUCCESS.json): harmless on reach (97.5%)
+        # but costs 10% success on pick-and-place (87.5% vs 97.5%) — the
+        # warm start biases between-chunk GRIPPER transitions. Do not
+        # enable for gripper-critical tasks without task-level validation.
         self.refine_t = float(cfg.get("refine_from_prev", 0.0))
         assert 0.0 <= self.refine_t < 1.0, "refine_from_prev must be in [0, 1)"
         self._infer_refined = jax.jit(

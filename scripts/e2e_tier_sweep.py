@@ -44,6 +44,8 @@ def main():
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--stats", required=True)
     ap.add_argument("--n-episodes", type=int, default=40)
+    ap.add_argument("--task", default="simpler_lite_reach",
+                    help="env.task override — must match the checkpoint's task")
     ap.add_argument("--out", default=None)
     ap.add_argument("--tiers", default=None, help="comma list; default all")
     args = ap.parse_args()
@@ -61,6 +63,7 @@ def main():
                 f"checkpoint_path={args.checkpoint}",
                 f"env.adapter.dataset_statistics_path={args.stats}",
                 f"n_eval_episode={args.n_episodes}",
+                f"env.task={args.task}",
                 *TIERS[name],
             ],
         )
@@ -75,6 +78,7 @@ def main():
 
     payload = {
         "checkpoint": args.checkpoint,
+        "task": args.task,
         "note": (
             "closed-loop success per serving tier, same trained SimplerLite "
             "policy, same held-out layouts; tiny-model CPU numbers — tier "
