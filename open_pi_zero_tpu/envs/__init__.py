@@ -18,6 +18,7 @@ from open_pi_zero_tpu.envs.reach_env import (  # noqa: F401
     ReachEnv,
     bridge_proprio,
     collect_demos,
+    register_simpler_lite_mix,
     scripted_expert,
     warm_tokenizer,
     write_demo_dataset,

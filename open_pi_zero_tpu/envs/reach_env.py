@@ -255,6 +255,7 @@ def write_demo_dataset(
     shards: int = 4,
     max_steps: Optional[int] = None,
     task: str = "reach",
+    dataset_name: str = "bridge_dataset",
 ) -> float:
     """Collect expert demos and write them as a `bridge_dataset` RLDS dir
     (TFRecord shards + features.json + dataset_info.json) — byte-compatible
@@ -278,9 +279,34 @@ def write_demo_dataset(
         rlds.LeafSpec("episode_metadata/file_path", "string", (), "text", False),
     ]
     rlds.write_rlds_dataset(
-        data_dir, "bridge_dataset", episodes, leaves, shards=min(shards, n_episodes)
+        data_dir, dataset_name, episodes, leaves, shards=min(shards, n_episodes)
     )
     return expert_rate
+
+
+def register_simpler_lite_mix() -> str:
+    """Register a two-dataset mix for multi-task training: reach demos
+    under the stock `bridge_dataset` entry plus pick-place demos under a
+    runtime `simpler_lite_pp` entry (same schema/transform as bridge).
+    Exercises the interleaved multi-dataset path — sample_from_datasets
+    with transition-count weight balancing, per-dataset statistics —
+    exactly how the reference trains on OXE mixes
+    (reference src/data/dataset.py:583-640). Returns the mix name."""
+    from open_pi_zero_tpu.data import oxe
+
+    if "simpler_lite_pp" not in oxe.REGISTRY:
+        oxe.REGISTRY["simpler_lite_pp"] = {
+            "image_obs_keys": {"primary": "image_0", "secondary": None, "wrist": None},
+            "depth_obs_keys": {"primary": None, "secondary": None, "wrist": None},
+            "proprio_encoding": oxe.ProprioEncoding.POS_EULER,
+            "action_encoding": oxe.ActionEncoding.EEF_POS,
+        }
+        oxe.STANDARDIZE_FNS["simpler_lite_pp"] = oxe.bridge_transform
+        oxe.MIXES["simpler_lite_multi"] = [
+            ("bridge_dataset", 1.0),
+            ("simpler_lite_pp", 1.0),
+        ]
+    return "simpler_lite_multi"
 
 
 def warm_tokenizer(tokenizer) -> None:

@@ -104,7 +104,8 @@ def main():
     # defaults = the measured recipe behind E2E_CLOSED_LOOP.json (95%
     # success on 40 unseen layouts; loss breaks ~0.13 -> 0.07 around
     # update 5-6k, so 8k updates is the budget that actually learns)
-    ap.add_argument("--task", default="reach", choices=["reach", "pick_place"])
+    ap.add_argument("--task", default="reach",
+                    choices=["reach", "pick_place", "multi"])
     ap.add_argument("--n-demos", type=int, default=600)
     ap.add_argument("--n-updates", type=int, default=8000)
     ap.add_argument("--n-eval-episodes", type=int, default=40)
@@ -131,13 +132,30 @@ def main():
     t0 = time.time()
 
     # ---- 1. expert demos -> RLDS (our writer) ----
-    data_dir = os.path.join(args.workdir, "rlds")
-    ds_dir = os.path.join(data_dir, "bridge_dataset")
-    if not os.path.exists(os.path.join(ds_dir, "features.json")):
-        expert_rate = write_demo_dataset(ds_dir, args.n_demos, seed=0, task=args.task)
+    # "multi": one policy on BOTH tasks via the interleaved multi-dataset
+    # path (sample_from_datasets + transition-count weight balancing +
+    # per-dataset statistics — the reference's OXE-mix machinery)
+    multi = args.task == "multi"
+    if multi:
+        from open_pi_zero_tpu.envs import register_simpler_lite_mix
+
+        mix = register_simpler_lite_mix()
+        demo_sets = [("reach", "bridge_dataset"), ("pick_place", "simpler_lite_pp")]
     else:
-        expert_rate = None
-        log.info("reusing demos at %s", ds_dir)
+        mix = "bridge"
+        demo_sets = [(args.task, "bridge_dataset")]
+    data_dir = os.path.join(args.workdir, "rlds")
+    expert_rate = {}
+    for task, name in demo_sets:
+        ds_dir = os.path.join(data_dir, name)
+        if not os.path.exists(os.path.join(ds_dir, "features.json")):
+            expert_rate[task] = write_demo_dataset(
+                ds_dir, args.n_demos, seed=0, task=task, dataset_name=name
+            )
+        else:
+            expert_rate[task] = None
+            log.info("reusing demos at %s", ds_dir)
+    expert_rate = expert_rate if multi else expert_rate[args.task]
     t_demos = time.time()
 
     # ---- 2. train through the production pipeline ----
@@ -166,7 +184,7 @@ def main():
         "resume_checkpoint_path": "auto" if args.resume else None,
         **geometry,
         "data": {"train": {
-            "dataset_mix": "bridge",
+            "dataset_mix": mix,
             "data_path": data_dir,
             "split": "train",
             "window_size": 1,
@@ -190,11 +208,17 @@ def main():
     state = agent.run()
     t_train = time.time()
 
-    # ---- 3. export the pipeline's statistics for the eval adapter ----
-    stats = agent.dataset.dataset.dataset_statistics[0]
-    stats_path = os.path.join(args.workdir, "statistics.json")
-    with open(stats_path, "w") as f:
-        json.dump({"action": stats["action"], "proprio": stats["proprio"]}, f)
+    # ---- 3. export per-dataset pipeline statistics for the eval adapter
+    # (dataset_statistics order == mix order; per-task stats must match
+    # what training normalized that task's actions with) ----
+    all_stats = agent.dataset.dataset.dataset_statistics
+    stats_paths = {}
+    for (task, _), stats in zip(demo_sets, all_stats):
+        suffix = "" if task == demo_sets[0][0] else f"_{task}"
+        p = os.path.join(args.workdir, f"statistics{suffix}.json")
+        with open(p, "w") as f:
+            json.dump({"action": stats["action"], "proprio": stats["proprio"]}, f)
+        stats_paths[task] = p
 
     params = jax.device_get(avg_lib.eval_params(state.avg, state.params))
 
@@ -204,19 +228,27 @@ def main():
         warm_tokenizer(tok)
         return tok
 
-    trained = run_eval(geometry, params, stats_path, fresh_tokenizer(),
-                       args.n_eval_episodes, args.eval_seed, task=args.task)
-    log.info("trained policy: %s", trained)
-
     from open_pi_zero_tpu.config import pizero_config_from_dict
     from open_pi_zero_tpu.models import pizero
 
     rand_params = pizero.init_params(
         jax.random.key(123), pizero_config_from_dict(ConfigDict(geometry))
     )
-    control = run_eval(geometry, rand_params, stats_path, fresh_tokenizer(),
-                       args.n_eval_episodes, args.eval_seed, task=args.task)
-    log.info("random-init control: %s", control)
+    trained, control = {}, {}
+    for task, _ in demo_sets:
+        trained[task] = run_eval(
+            geometry, params, stats_paths[task], fresh_tokenizer(),
+            args.n_eval_episodes, args.eval_seed, task=task)
+        log.info("trained policy [%s]: %s", task, trained[task])
+        control[task] = run_eval(
+            geometry, rand_params, stats_paths[task], fresh_tokenizer(),
+            args.n_eval_episodes, args.eval_seed, task=task)
+        log.info("random-init control [%s]: %s", task, control[task])
+
+    def rates(d):
+        if multi:
+            return {t: d[t]["success_rate"] for t, _ in demo_sets}
+        return d[args.task]["success_rate"]
 
     result = {
         "task": f"simpler_lite_{args.task}",
@@ -224,8 +256,8 @@ def main():
         "n_updates": args.n_updates,
         "n_eval_episodes": args.n_eval_episodes,
         "expert_success_rate": expert_rate,
-        "trained_success_rate": trained["success_rate"],
-        "random_init_success_rate": control["success_rate"],
+        "trained_success_rate": rates(trained),
+        "random_init_success_rate": rates(control),
         "model": {"hidden": args.hidden, "layers": args.layers,
                   "params": int(sum(
                       np.prod(x.shape) for x in jax.tree.leaves(params)))},
