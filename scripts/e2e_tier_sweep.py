@@ -36,6 +36,13 @@ TIERS = {
     "midpoint3": ["quantize=false", "flow_integrator=midpoint",
                   "num_inference_steps=3"],
     "refined_t05": ["quantize=false", "refine_from_prev=0.5"],
+    # control-sensitivity ablations (not serving tiers): how success
+    # depends on re-planning frequency and flow integration depth
+    "act_steps2": ["quantize=false", "act_steps=2"],
+    "act_steps1": ["quantize=false", "act_steps=1"],
+    "euler5": ["quantize=false", "num_inference_steps=5"],
+    "euler3": ["quantize=false", "num_inference_steps=3"],
+    "euler1": ["quantize=false", "num_inference_steps=1"],
 }
 
 
