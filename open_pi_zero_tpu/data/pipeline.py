@@ -83,9 +83,13 @@ def make_dataset_from_rlds(
 
     def restructure(ep: dict) -> dict:
         steps = ep["steps"]
+        # action stays RAW here: for RT-1-family datasets it is a nested
+        # dict (world_vector / rotation_delta / gripper_closedness_action)
+        # that only the standardize_fn flattens — the reference also runs
+        # standardize_fn before any cast (reference dataset.py:346-357)
         traj = {
             "observation": dict(steps.get("observation", {})),
-            "action": tf.cast(steps["action"], tf.float32),
+            "action": steps["action"],
         }
         if "language_instruction" in steps:
             traj["language_instruction"] = steps["language_instruction"]
@@ -93,6 +97,7 @@ def make_dataset_from_rlds(
             traj = standardize_fn(traj)
         if not REQUIRED_KEYS <= set(traj):
             raise ValueError(f"standardize_fn must produce keys {REQUIRED_KEYS}")
+        traj["action"] = tf.cast(traj["action"], tf.float32)
 
         traj_len = tf.shape(traj["action"])[0]
         old_obs = traj["observation"]

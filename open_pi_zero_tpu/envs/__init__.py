@@ -9,6 +9,13 @@ a closed-loop success rate, the reference's acceptance metric
 (reference README.md:90-114).
 """
 
+from open_pi_zero_tpu.envs.drawer_env import (  # noqa: F401
+    DrawerEnv,
+    collect_fractal_demos,
+    drawer_expert,
+    fractal_proprio_parts,
+    write_fractal_demo_dataset,
+)
 from open_pi_zero_tpu.envs.pick_place_env import (  # noqa: F401
     PickPlaceEnv,
     pick_place_expert,
@@ -40,7 +47,9 @@ def make_env(task: str, seed: int = 0):
         return ReachEnv(seed=seed, multi_subtask=True, max_steps=96)
     if task == "simpler_lite_pick_place":
         return PickPlaceEnv(seed=seed)
+    if task == "simpler_lite_drawer":
+        return DrawerEnv(seed=seed)
     raise ValueError(
         f"unknown simpler_lite task {task!r}; known: simpler_lite_reach, "
-        "simpler_lite_reach_multi, simpler_lite_pick_place"
+        "simpler_lite_reach_multi, simpler_lite_pick_place, simpler_lite_drawer"
     )

@@ -1,0 +1,346 @@
+"""SimplerLite drawer task: the fractal/EDR (google-robot) family.
+
+Third SimplerLite task, and the first in the FRACTAL family: demos are
+written in the raw fractal20220817_data schema (nested action dict with
+world_vector / rotation_delta / relative gripper_closedness_action;
+observation carries base_pose_tool_reached + gripper_closed +
+natural_language_instruction), flow through the UNMODIFIED rt1_transform
+(rel2abs gripper, POS_QUAT proprio; reference
+oxe_standardization_transforms.py:43-68), and eval runs through the real
+EDRSimplerAdapter — including the 15-step STICKY gripper state machine
+(reference simpler.py:190-253) — so the google-robot half of the
+reference's eval stack is exercised in a *learned* closed loop, not just
+by state-machine goldens.
+
+Task (mirrors Simpler's "open the {top,middle,bottom} drawer"): a cabinet
+with three stacked drawers at an episode-keyed position; the instruction
+picks which drawer. The policy must approach that drawer's handle with
+the gripper open, close on it (continuous closedness dynamics — the
+relative gripper command integrates, like the real google robot's 3 Hz
+gripper), and pull along +x past the success extension. Success requires
+vision (cabinet position only in pixels) AND language (instruction picks
+the drawer) AND gripper control (no grasp, no pull).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from open_pi_zero_tpu.envs.reach_env import EEF_QUAT_WXYZ, EEF_Z, MAX_STEP, WORKSPACE
+
+# ---- cabinet geometry (world units, same planar tabletop as reach) ----
+CABINET_HALF_W = 0.050  # x half-width of the closed cabinet body
+CABINET_HALF_H = 0.160  # y half-height of the body
+PANEL_HALF_H = 0.038  # y half-height of one drawer front panel
+PANEL_THICK = 0.018  # x thickness of the front panel
+DRAWER_DY = 0.105  # vertical spacing between drawer centers
+HANDLE_OFF = 0.012  # handle protrusion beyond the front panel
+HANDLE_HALF = 0.013  # rendered handle half-size
+D_MAX = 0.080  # full drawer travel
+SUCCESS_EXT = 0.055  # instructed drawer counts as open past this
+GRASP_RADIUS = 0.05
+# Closedness change per unit relative command per step. Deliberately SLOW
+# (6 steps to grasp threshold): the google robot's gripper actuates over
+# ~a second at 3 Hz control, which is exactly why the reference's EDR
+# adapter carries the 15-step sticky repeat machine (simpler.py:190-253,
+# "the 15-repeat constant comes from Octo's Simpler inference at 3 Hz").
+# A slow env gripper makes the demos contain many "commanding close while
+# still open" frames, so the sticky machine's trigger delays at eval stay
+# in-distribution for the learned policy.
+GRIP_RATE = 0.125
+CLOSE_THRESH = 0.75  # closedness needed to grasp the handle
+OPEN_THRESH = 0.5  # dropping below this releases the handle
+
+NAMES = ("top", "middle", "bottom")
+INSTRUCTIONS = tuple(f"open the {n} drawer" for n in NAMES)
+
+BODY_COLOR = (96, 92, 90)
+PANEL_COLOR = (176, 170, 164)
+INTERIOR_COLOR = (60, 48, 40)  # exposed drawer box once pulled out
+HANDLE_COLOR = (35, 30, 28)
+
+
+class DrawerEnv:
+    """Kinematic three-drawer cabinet with episode-keyed placement.
+
+    Protocol identical to the other SimplerLite envs (reference
+    src/agent/eval.py:60-179): reset(seed, options={"obj_init_options":
+    {"episode_id": k}}) / step / get_language_instruction. Commands are
+    the EDR adapter's output format [dx, dy, dz, axis-angle (3),
+    gripper_relative] with gripper_relative > 0 closing (the sticky
+    machine's convention, env_adapter.py:226-241); the env integrates
+    closedness at GRIP_RATE per step like the google robot's continuous
+    gripper.
+    """
+
+    def __init__(self, seed: int = 0, render_size: int = 112, max_steps: int = 112):
+        self.base_seed = int(seed)
+        self.render_size = int(render_size)
+        self.max_steps = int(max_steps)
+        lo, hi = WORKSPACE
+        centers = lo + (np.arange(self.render_size) + 0.5) * (hi - lo) / self.render_size
+        self._px_x = centers[None, :]
+        self._px_y = centers[:, None]
+        self.reset(seed=seed)
+
+    # ------------------------------------------------------------------ #
+    def reset(self, seed: Optional[int] = None, options: Optional[dict] = None):
+        if seed is not None:
+            self.base_seed = int(seed)
+        episode_id = int(
+            ((options or {}).get("obj_init_options") or {}).get("episode_id", 0)
+        )
+        rng = np.random.default_rng((self.base_seed, 31, episode_id))
+        self.cab = np.array(
+            [rng.uniform(-0.16, -0.10), rng.uniform(-0.035, 0.035)]
+        )
+        self.ext = np.zeros(3)  # per-drawer extension in [0, D_MAX]
+        self.target_idx = int(rng.integers(3))
+        self.instruction = INSTRUCTIONS[self.target_idx]
+        self.eef = np.array([rng.uniform(0.08, 0.17), rng.uniform(-0.12, 0.12)])
+        self.closedness = 0.0
+        self.attached: Optional[int] = None  # drawer index while grasped
+        self.t = 0
+        self._success = False
+        return self._obs(), {}
+
+    def get_language_instruction(self) -> str:
+        return self.instruction
+
+    def handle_pos(self, i: int) -> np.ndarray:
+        """World xy of drawer i's handle center."""
+        x = self.cab[0] + CABINET_HALF_W + self.ext[i] + HANDLE_OFF
+        y = self.cab[1] + (i - 1) * DRAWER_DY
+        return np.array([x, y])
+
+    def step(self, action: np.ndarray):
+        """action: EDR command [dx, dy, dz, axangle(3), gripper_relative]."""
+        action = np.asarray(action, np.float64).reshape(-1)
+        delta = np.clip(action[:2], -MAX_STEP, MAX_STEP)
+        rel = float(np.clip(action[6], -1.0, 1.0))
+        self.closedness = float(np.clip(self.closedness + GRIP_RATE * rel, 0.0, 1.0))
+
+        if self.attached is not None and self.closedness < OPEN_THRESH:
+            self.attached = None  # released the handle; drawer stays put
+        if self.attached is None:
+            lo, hi = WORKSPACE
+            self.eef = np.clip(self.eef + delta, lo, hi)
+            if self.closedness >= CLOSE_THRESH:
+                dists = [np.linalg.norm(self.handle_pos(i) - self.eef) for i in range(3)]
+                i = int(np.argmin(dists))
+                if dists[i] < GRASP_RADIUS:
+                    self.attached = i
+                    self.eef = self.handle_pos(i)
+        else:
+            # grasped: motion is constrained to the drawer rail (x only)
+            i = self.attached
+            self.ext[i] = float(np.clip(self.ext[i] + delta[0], 0.0, D_MAX))
+            self.eef = self.handle_pos(i)
+
+        if self.ext[self.target_idx] >= SUCCESS_EXT:
+            self._success = True  # latched, like Simpler's drawer qpos check
+        self.t += 1
+        truncated = self.t >= self.max_steps
+        return self._obs(), float(self._success), self._success, truncated, {}
+
+    # ------------------------------------------------------------------ #
+    def _obs(self) -> dict:
+        # eef_pos layout matches the other SimplerLite envs: [xyz, quat wxyz,
+        # OPENNESS]; EDRSimplerAdapter derives closedness = 1 - eef[7]
+        # (env_adapter.py:220-224)
+        eef_pos = np.concatenate(
+            [self.eef, [EEF_Z], EEF_QUAT_WXYZ, [1.0 - self.closedness]]
+        ).astype(np.float64)
+        return {"agent": {"eef_pos": eef_pos}, "image": self.render()}
+
+    def get_image(self, obs: dict) -> np.ndarray:
+        return obs["image"]
+
+    def _rect(self, x0, x1, y0, y1) -> np.ndarray:
+        return (
+            (self._px_x >= x0) & (self._px_x <= x1)
+            & (self._px_y >= y0) & (self._px_y <= y1)
+        )
+
+    def render(self) -> np.ndarray:
+        img = np.full((self.render_size, self.render_size, 3), 214, np.uint8)
+        cx, cy = self.cab
+        img[
+            self._rect(cx - CABINET_HALF_W, cx + CABINET_HALF_W,
+                       cy - CABINET_HALF_H, cy + CABINET_HALF_H)
+        ] = BODY_COLOR
+        for i in range(3):
+            y = cy + (i - 1) * DRAWER_DY
+            face = cx + CABINET_HALF_W + self.ext[i]
+            if self.ext[i] > 1e-6:  # exposed drawer box behind the panel
+                img[
+                    self._rect(cx + CABINET_HALF_W, face - PANEL_THICK,
+                               y - PANEL_HALF_H, y + PANEL_HALF_H)
+                ] = INTERIOR_COLOR
+            img[
+                self._rect(face - PANEL_THICK, face,
+                           y - PANEL_HALF_H, y + PANEL_HALF_H)
+            ] = PANEL_COLOR
+            hx, hy = face + HANDLE_OFF, y
+            img[
+                self._rect(hx - HANDLE_HALF, hx + HANDLE_HALF,
+                           hy - HANDLE_HALF, hy + HANDLE_HALF)
+            ] = HANDLE_COLOR
+        # eef disc shrinks as the gripper closes (visible gripper state)
+        r = (0.024 - 0.010 * self.closedness)
+        eef_mask = (self._px_x - self.eef[0]) ** 2 + (
+            self._px_y - self.eef[1]
+        ) ** 2 <= r**2
+        img[eef_mask] = (30, 60, 200)
+        return img
+
+
+# --------------------------------------------------------------------------- #
+# scripted expert — RAW fractal convention: gripper_closedness_action is a
+# RELATIVE command (+1 closing, -1 opening, 0 hold), exactly what
+# rel2abs_gripper_actions standardizes into absolute openness
+# (data/oxe.py:56-70; reference data_utils.py:303-400)
+# --------------------------------------------------------------------------- #
+
+
+def drawer_expert(
+    env: DrawerEnv, rng: np.random.Generator, noise: float = 0.003
+) -> np.ndarray:
+    handle = env.handle_pos(env.target_idx)
+    if env._success:
+        move, grip = np.zeros(2), 0.0  # done: hold position and grip
+    elif env.attached == env.target_idx:
+        move, grip = np.array([MAX_STEP, 0.0]), 0.0  # pull straight out
+    elif np.linalg.norm(handle - env.eef) > 0.55 * GRASP_RADIUS:
+        move = handle - env.eef  # approach
+        grip = -1.0 if env.closedness > 0.25 else 0.0  # reopen after a miss
+    else:
+        move, grip = np.zeros(2), 1.0  # hover on the handle and close
+    delta = np.clip(move, -MAX_STEP, MAX_STEP) + rng.normal(0.0, noise, size=2)
+    return np.concatenate([delta, [0.0, 0.0, 0.0, 0.0], [grip]]).astype(np.float32)
+
+
+# --------------------------------------------------------------------------- #
+# demo collection in the raw fractal20220817_data RLDS schema
+# --------------------------------------------------------------------------- #
+
+
+def fractal_proprio_parts(obs: dict) -> Tuple[np.ndarray, np.ndarray]:
+    """obs -> (base_pose_tool_reached [7] = xyz + quat xyzw, gripper_closed
+    [1]). rt1_transform concatenates these into the 8-dim POS_QUAT proprio —
+    the same numbers EDRSimplerAdapter.preprocess_proprio computes at eval
+    time (env_adapter.py:220-224), so train proprio == eval proprio."""
+    p = np.asarray(obs["agent"]["eef_pos"], np.float64)
+    quat_xyzw = np.roll(p[3:7], -1)  # env stores wxyz; fractal uses xyzw
+    base = np.concatenate([p[:3], quat_xyzw]).astype(np.float32)
+    return base, np.array([1.0 - p[7]], np.float32)
+
+
+def collect_fractal_demos(
+    n_episodes: int,
+    seed: int = 0,
+    render_size: int = 112,
+    hold_steps: int = 4,
+    max_steps: Optional[int] = None,
+) -> Tuple[List[dict], float]:
+    """Roll the drawer expert; returns (episodes in the raw
+    fractal20220817_data step schema, expert success rate). Unlike the
+    bridge tasks there is no action relabel from proprio (rt1_transform
+    keeps world_vector as-is), so no closing frame is appended."""
+    import tensorflow as tf
+
+    env = DrawerEnv(seed=seed, render_size=render_size,
+                    max_steps=int(max_steps or 112))
+    episodes, successes = [], []
+    for ep_id in range(n_episodes):
+        obs, _ = env.reset(options={"obj_init_options": {"episode_id": ep_id}})
+        rng = np.random.default_rng((seed, ep_id, 23))
+        images, bases, grips, wv, rot, gca = [], [], [], [], [], []
+        success_at = None
+        while True:
+            act = drawer_expert(env, rng)
+            images.append(tf.io.encode_jpeg(obs["image"]).numpy())
+            base, gc = fractal_proprio_parts(obs)
+            bases.append(base)
+            grips.append(gc)
+            wv.append(act[:3])
+            rot.append(act[3:6])
+            gca.append(act[6:7])
+            obs, _, success, truncated, _ = env.step(act)
+            if success and success_at is None:
+                success_at = env.t
+            if truncated or (success_at is not None and env.t >= success_at + hold_steps):
+                break
+        successes.append(bool(success))
+        n = len(images)
+        episodes.append(
+            {
+                "steps": {
+                    "observation": {
+                        "image": images,
+                        "base_pose_tool_reached": np.stack(bases),
+                        "gripper_closed": np.stack(grips),
+                        "natural_language_instruction": [
+                            env.get_language_instruction().encode()
+                        ] * n,
+                    },
+                    "action": {
+                        "world_vector": np.stack(wv),
+                        "rotation_delta": np.stack(rot),
+                        "gripper_closedness_action": np.stack(gca),
+                    },
+                },
+                "episode_metadata": {"file_path": f"/sim/drawer_ep{ep_id}".encode()},
+            }
+        )
+    return episodes, float(np.mean(successes))
+
+
+def write_fractal_demo_dataset(
+    data_dir: str,
+    n_episodes: int,
+    seed: int = 0,
+    render_size: int = 112,
+    shards: int = 4,
+    max_steps: Optional[int] = None,
+    dataset_name: str = "fractal20220817_data",
+) -> float:
+    """Collect drawer demos and write them as a raw fractal20220817_data
+    RLDS dir, byte-compatible with what the production fractal pipeline
+    (registry entry + rt1_transform, data/oxe.py:102-134) reads. Returns
+    the expert success rate."""
+    from open_pi_zero_tpu.data import rlds
+
+    episodes, expert_rate = collect_fractal_demos(
+        n_episodes, seed=seed, render_size=render_size, max_steps=max_steps
+    )
+    leaves = [
+        rlds.LeafSpec(
+            "steps/observation/image", "uint8",
+            (render_size, render_size, 3), "image", True, "jpeg",
+        ),
+        rlds.LeafSpec(
+            "steps/observation/base_pose_tool_reached", "float32", (7,),
+            "tensor", True,
+        ),
+        rlds.LeafSpec(
+            "steps/observation/gripper_closed", "float32", (1,), "tensor", True
+        ),
+        rlds.LeafSpec(
+            "steps/observation/natural_language_instruction", "string", (),
+            "text", True,
+        ),
+        rlds.LeafSpec("steps/action/world_vector", "float32", (3,), "tensor", True),
+        rlds.LeafSpec("steps/action/rotation_delta", "float32", (3,), "tensor", True),
+        rlds.LeafSpec(
+            "steps/action/gripper_closedness_action", "float32", (1,),
+            "tensor", True,
+        ),
+        rlds.LeafSpec("episode_metadata/file_path", "string", (), "text", False),
+    ]
+    rlds.write_rlds_dataset(
+        data_dir, dataset_name, episodes, leaves, shards=min(shards, n_episodes)
+    )
+    return expert_rate

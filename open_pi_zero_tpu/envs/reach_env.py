@@ -314,11 +314,12 @@ def warm_tokenizer(tokenizer) -> None:
     FakeTokenizer hands out ids in first-seen order (processing.py:148-157);
     warming both the train-side and eval-side tokenizers makes their
     vocabularies identical regardless of data-shuffle order."""
+    from open_pi_zero_tpu.envs.drawer_env import INSTRUCTIONS as DRAWER_INSTRUCTIONS
     from open_pi_zero_tpu.envs.pick_place_env import INSTRUCTION as PP_INSTRUCTION
     from open_pi_zero_tpu.processing import IMAGE_TOKEN
 
     # _encode needs the image special token registered (the processor
     # normally does this); registering twice is a no-op
     tokenizer.add_special_tokens({"additional_special_tokens": [IMAGE_TOKEN]})
-    for s in (*INSTRUCTIONS, PP_INSTRUCTION):
+    for s in (*INSTRUCTIONS, PP_INSTRUCTION, *DRAWER_INSTRUCTIONS):
         tokenizer._encode(s)

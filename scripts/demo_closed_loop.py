@@ -30,9 +30,11 @@ import time
 import numpy as np
 
 
-def model_geometry(hidden: int, layers: int) -> dict:
+def model_geometry(hidden: int, layers: int, proprio_dim: int = 7) -> dict:
     """Config-dict geometry block shared by train and eval (image 56x56,
-    patch 14 -> 16 image tokens; text budget 8 -> seq 24)."""
+    patch 14 -> 16 image tokens; text budget 8 -> seq 24). proprio_dim is
+    7 for the bridge-family tasks (POS_EULER) and 8 for the fractal family
+    (POS_QUAT, reference oxe/__init__.py:40-62)."""
     h2 = hidden // 2
     return {
         "vocab_size": 10_000,
@@ -43,7 +45,7 @@ def model_geometry(hidden: int, layers: int) -> dict:
         "cond_steps": 1,
         "horizon_steps": 4,
         "action_dim": 7,
-        "proprio_dim": 7,
+        "proprio_dim": proprio_dim,
         "num_inference_steps": 10,
         "time_hidden_size": 2 * h2,
         "mixture": {
@@ -68,13 +70,14 @@ def model_geometry(hidden: int, layers: int) -> dict:
 
 
 def run_eval(cfg_geometry, params, stats_path, tokenizer, n_episodes, seed,
-             act_steps=4, refine_from_prev=0.0, task="reach"):
-    from open_pi_zero_tpu.agents.env_adapter import BridgeSimplerAdapter
+             act_steps=4, refine_from_prev=0.0, task="reach", adapter_name="bridge"):
+    from open_pi_zero_tpu.agents.env_adapter import make_adapter
     from open_pi_zero_tpu.agents.eval import EvalAgent
     from open_pi_zero_tpu.config import ConfigDict
     from open_pi_zero_tpu.envs import make_env
 
-    adapter = BridgeSimplerAdapter(
+    adapter = make_adapter(
+        adapter_name,
         dataset_statistics_path=stats_path,
         num_image_tokens=16,
         image_size=(56, 56),
@@ -105,7 +108,7 @@ def main():
     # success on 40 unseen layouts; loss breaks ~0.13 -> 0.07 around
     # update 5-6k, so 8k updates is the budget that actually learns)
     ap.add_argument("--task", default="reach",
-                    choices=["reach", "pick_place", "multi"])
+                    choices=["reach", "pick_place", "multi", "drawer"])
     ap.add_argument("--n-demos", type=int, default=600)
     ap.add_argument("--n-updates", type=int, default=8000)
     ap.add_argument("--n-eval-episodes", type=int, default=40)
@@ -136,11 +139,16 @@ def main():
     # path (sample_from_datasets + transition-count weight balancing +
     # per-dataset statistics — the reference's OXE-mix machinery)
     multi = args.task == "multi"
+    drawer = args.task == "drawer"  # fractal/EDR family: raw RT-1 schema,
+    # rt1_transform standardization, EDR sticky-gripper adapter at eval
     if multi:
         from open_pi_zero_tpu.envs import register_simpler_lite_mix
 
         mix = register_simpler_lite_mix()
         demo_sets = [("reach", "bridge_dataset"), ("pick_place", "simpler_lite_pp")]
+    elif drawer:
+        mix = "fractal"
+        demo_sets = [("drawer", "fractal20220817_data")]
     else:
         mix = "bridge"
         demo_sets = [(args.task, "bridge_dataset")]
@@ -149,9 +157,16 @@ def main():
     for task, name in demo_sets:
         ds_dir = os.path.join(data_dir, name)
         if not os.path.exists(os.path.join(ds_dir, "features.json")):
-            expert_rate[task] = write_demo_dataset(
-                ds_dir, args.n_demos, seed=0, task=task, dataset_name=name
-            )
+            if task == "drawer":
+                from open_pi_zero_tpu.envs import write_fractal_demo_dataset
+
+                expert_rate[task] = write_fractal_demo_dataset(
+                    ds_dir, args.n_demos, seed=0, dataset_name=name
+                )
+            else:
+                expert_rate[task] = write_demo_dataset(
+                    ds_dir, args.n_demos, seed=0, task=task, dataset_name=name
+                )
         else:
             expert_rate[task] = None
             log.info("reusing demos at %s", ds_dir)
@@ -159,7 +174,8 @@ def main():
     t_demos = time.time()
 
     # ---- 2. train through the production pipeline ----
-    geometry = model_geometry(args.hidden, args.layers)
+    geometry = model_geometry(args.hidden, args.layers,
+                              proprio_dim=8 if drawer else 7)
     n_dev = jax.device_count()
     per_dev = max(1, args.global_batch // n_dev)
     train_cfg = ConfigDict({
@@ -234,15 +250,18 @@ def main():
     rand_params = pizero.init_params(
         jax.random.key(123), pizero_config_from_dict(ConfigDict(geometry))
     )
+    adapter_name = "edr" if drawer else "bridge"
     trained, control = {}, {}
     for task, _ in demo_sets:
         trained[task] = run_eval(
             geometry, params, stats_paths[task], fresh_tokenizer(),
-            args.n_eval_episodes, args.eval_seed, task=task)
+            args.n_eval_episodes, args.eval_seed, task=task,
+            adapter_name=adapter_name)
         log.info("trained policy [%s]: %s", task, trained[task])
         control[task] = run_eval(
             geometry, rand_params, stats_paths[task], fresh_tokenizer(),
-            args.n_eval_episodes, args.eval_seed, task=task)
+            args.n_eval_episodes, args.eval_seed, task=task,
+            adapter_name=adapter_name)
         log.info("random-init control [%s]: %s", task, control[task])
 
     def rates(d):

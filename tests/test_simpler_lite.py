@@ -152,6 +152,9 @@ class TestPickPlace:
         m = make_env("simpler_lite_reach_multi")
         assert isinstance(m, ReachEnv) and m.multi_subtask
         assert isinstance(make_env("simpler_lite_pick_place"), PickPlaceEnv)
+        from open_pi_zero_tpu.envs import DrawerEnv
+
+        assert isinstance(make_env("simpler_lite_drawer"), DrawerEnv)
         with pytest.raises(ValueError):
             make_env("simpler_lite_nope")
 
