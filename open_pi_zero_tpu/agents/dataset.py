@@ -62,6 +62,20 @@ class RLDSInterleavedDataset:
                 action_horizon=int(config.get("action_horizon", 4)),
                 subsample_length=100,
                 skip_unlabeled=bool(config.get("skip_unlabeled", True)),
+                # cross-FAMILY mixes (e.g. bridge 7-dim POS_EULER proprio +
+                # fractal 8-dim POS_QUAT) zero-pad trailing dims to one
+                # width after per-dataset normalization
+                # (traj_transforms.pad_actions_and_proprio, reference
+                # traj_transforms.py:141-165); single-family configs leave
+                # these unset like the reference wrapper does
+                max_action_dim=(
+                    int(config["max_action_dim"])
+                    if config.get("max_action_dim") else None
+                ),
+                max_proprio_dim=(
+                    int(config["max_proprio_dim"])
+                    if config.get("max_proprio_dim") else None
+                ),
             ),
             frame_transform_kwargs=dict(
                 # `augment: false` disables train-time image augmentation

@@ -70,12 +70,17 @@ class SimplerAdapter(BaseEnvAdapter):
         proprio_normalization_type: str = "bound",
         tokenizer=None,
         image_token_index: int = 257152,
+        pad_proprio_to: Optional[int] = None,
     ):
         assert action_normalization_type in ("bound", "gaussian")
         assert proprio_normalization_type in ("bound", "gaussian")
         self.image_size = tuple(image_size)
         self.action_normalization_type = action_normalization_type
         self.proprio_normalization_type = proprio_normalization_type
+        # for cross-family multi-task policies: zero-pad the normalized
+        # proprio to the model's width, mirroring the training pipeline's
+        # normalize-then-pad order (traj_transforms.pad_actions_and_proprio)
+        self.pad_proprio_to = pad_proprio_to
 
         from open_pi_zero_tpu.data.normalization import load_statistics_file
 
@@ -141,7 +146,12 @@ class SimplerAdapter(BaseEnvAdapter):
                 raw_proprio, np.asarray(stats["mean"]), np.asarray(stats["std"])
             )
 
-        model_inputs["proprios"] = np.asarray(proprio, np.float32)[None, None]
+        proprio = np.asarray(proprio, np.float32)
+        if self.pad_proprio_to is not None and proprio.shape[-1] < self.pad_proprio_to:
+            proprio = np.concatenate(
+                [proprio, np.zeros(self.pad_proprio_to - proprio.shape[-1], np.float32)]
+            )
+        model_inputs["proprios"] = proprio[None, None]
         return model_inputs
 
     def postprocess(self, actions: np.ndarray) -> np.ndarray:

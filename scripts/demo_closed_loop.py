@@ -70,7 +70,8 @@ def model_geometry(hidden: int, layers: int, proprio_dim: int = 7) -> dict:
 
 
 def run_eval(cfg_geometry, params, stats_path, tokenizer, n_episodes, seed,
-             act_steps=4, refine_from_prev=0.0, task="reach", adapter_name="bridge"):
+             act_steps=4, refine_from_prev=0.0, task="reach", adapter_name="bridge",
+             pad_proprio_to=None):
     from open_pi_zero_tpu.agents.env_adapter import make_adapter
     from open_pi_zero_tpu.agents.eval import EvalAgent
     from open_pi_zero_tpu.config import ConfigDict
@@ -83,6 +84,7 @@ def run_eval(cfg_geometry, params, stats_path, tokenizer, n_episodes, seed,
         image_size=(56, 56),
         max_seq_len=24,
         tokenizer=tokenizer,
+        pad_proprio_to=pad_proprio_to,
     )
     cfg = ConfigDict({
         "seed": seed,
@@ -108,7 +110,8 @@ def main():
     # success on 40 unseen layouts; loss breaks ~0.13 -> 0.07 around
     # update 5-6k, so 8k updates is the budget that actually learns)
     ap.add_argument("--task", default="reach",
-                    choices=["reach", "pick_place", "multi", "drawer"])
+                    choices=["reach", "pick_place", "multi", "drawer",
+                             "multi_family"])
     ap.add_argument("--n-demos", type=int, default=600)
     ap.add_argument("--n-updates", type=int, default=8000)
     ap.add_argument("--n-eval-episodes", type=int, default=40)
@@ -121,6 +124,10 @@ def main():
     ap.add_argument("--resume", action="store_true",
                     help="continue from the newest checkpoint in --workdir "
                          "(raise --n-updates past the finished run's count)")
+    ap.add_argument("--save-freq", type=int, default=0,
+                    help="also checkpoint every N updates (0 = final only); "
+                         "intermediate checkpoints let the learning curve be "
+                         "scored without retraining")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -138,10 +145,17 @@ def main():
     # "multi": one policy on BOTH tasks via the interleaved multi-dataset
     # path (sample_from_datasets + transition-count weight balancing +
     # per-dataset statistics — the reference's OXE-mix machinery)
-    multi = args.task == "multi"
+    multi = args.task in ("multi", "multi_family")
     drawer = args.task == "drawer"  # fractal/EDR family: raw RT-1 schema,
     # rt1_transform standardization, EDR sticky-gripper adapter at eval
-    if multi:
+    multi_family = args.task == "multi_family"  # bridge reach (7-dim
+    # POS_EULER proprio) + fractal drawer (8-dim POS_QUAT) in ONE policy
+    # via the stock `oxe_simple` mix — exercises cross-family proprio
+    # zero-padding (pad_actions_and_proprio) in a learned loop
+    if multi_family:
+        mix = "oxe_simple"
+        demo_sets = [("reach", "bridge_dataset"), ("drawer", "fractal20220817_data")]
+    elif multi:
         from open_pi_zero_tpu.envs import register_simpler_lite_mix
 
         mix = register_simpler_lite_mix()
@@ -174,8 +188,9 @@ def main():
     t_demos = time.time()
 
     # ---- 2. train through the production pipeline ----
+    fractal_proprio = drawer or multi_family  # POS_QUAT width
     geometry = model_geometry(args.hidden, args.layers,
-                              proprio_dim=8 if drawer else 7)
+                              proprio_dim=8 if fractal_proprio else 7)
     n_dev = jax.device_count()
     per_dev = max(1, args.global_batch // n_dev)
     train_cfg = ConfigDict({
@@ -185,7 +200,7 @@ def main():
         "load_pretrained_weights": False,
         "n_updates": args.n_updates,
         "log_freq": 50,
-        "save_model_freq": 0,
+        "save_model_freq": args.save_freq,
         "eval_freq": 0,
         "global_batch_size": per_dev * n_dev,
         "per_device_batch_size": per_dev,
@@ -214,6 +229,8 @@ def main():
             "traj_transform_threads": 2,
             "traj_read_threads": 2,
             "resize_size": [56, 56],
+            # cross-family mix: pad bridge's 7-dim proprio to fractal's 8
+            "max_proprio_dim": 8 if multi_family else None,
         }},
     })
     from open_pi_zero_tpu.agents.train import TrainAgent
@@ -250,18 +267,22 @@ def main():
     rand_params = pizero.init_params(
         jax.random.key(123), pizero_config_from_dict(ConfigDict(geometry))
     )
-    adapter_name = "edr" if drawer else "bridge"
     trained, control = {}, {}
     for task, _ in demo_sets:
+        # adapter family follows the TASK (bridge adapter for reach/
+        # pick_place, EDR sticky-gripper adapter for drawer); bridge tasks
+        # under a cross-family policy pad their 7-dim proprio to 8
+        adapter_name = "edr" if task == "drawer" else "bridge"
+        pad_to = 8 if (multi_family and task != "drawer") else None
         trained[task] = run_eval(
             geometry, params, stats_paths[task], fresh_tokenizer(),
             args.n_eval_episodes, args.eval_seed, task=task,
-            adapter_name=adapter_name)
+            adapter_name=adapter_name, pad_proprio_to=pad_to)
         log.info("trained policy [%s]: %s", task, trained[task])
         control[task] = run_eval(
             geometry, rand_params, stats_paths[task], fresh_tokenizer(),
             args.n_eval_episodes, args.eval_seed, task=task,
-            adapter_name=adapter_name)
+            adapter_name=adapter_name, pad_proprio_to=pad_to)
         log.info("random-init control [%s]: %s", task, control[task])
 
     def rates(d):

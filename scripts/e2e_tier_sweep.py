@@ -53,6 +53,10 @@ def main():
     ap.add_argument("--n-episodes", type=int, default=40)
     ap.add_argument("--task", default="simpler_lite_reach",
                     help="env.task override — must match the checkpoint's task")
+    ap.add_argument("--config", default="configs/eval/simpler_lite.yaml",
+                    help="base eval config (use simpler_lite_drawer.yaml for "
+                         "the fractal-family drawer task: EDR adapter, "
+                         "proprio_dim 8)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--tiers", default=None, help="comma list; default all")
     args = ap.parse_args()
@@ -65,7 +69,7 @@ def main():
     names = args.tiers.split(",") if args.tiers else list(TIERS)
     for name in names:
         cfg = load_config(
-            os.path.join(repo, "configs/eval/simpler_lite.yaml"),
+            os.path.join(repo, args.config),
             overrides=[
                 f"checkpoint_path={args.checkpoint}",
                 f"env.adapter.dataset_statistics_path={args.stats}",

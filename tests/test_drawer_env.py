@@ -240,6 +240,85 @@ def test_fractal_demos_through_production_pipeline(tmp_path):
     assert len(stats["proprio"]["p01"]) == 8
 
 
+def test_adapter_pad_proprio_to(tmp_path):
+    """Cross-family policies: the bridge adapter zero-pads its normalized
+    7-dim proprio to the model width, mirroring the training pipeline's
+    normalize-then-pad order (pad_actions_and_proprio)."""
+    from open_pi_zero_tpu.agents.env_adapter import BridgeSimplerAdapter
+    from open_pi_zero_tpu.envs import ReachEnv
+
+    sp = os.path.join(str(tmp_path), "bstats.json")
+    with open(sp, "w") as f:
+        json.dump(
+            {"action": {"p01": [-0.03] * 6 + [0.0], "p99": [0.03] * 6 + [1.0]},
+             "proprio": {"p01": [-1.0] * 7, "p99": [1.0] * 7}}, f)
+    tok = FakeTokenizer(image_token_id=500)
+    warm_tokenizer(tok)
+    kw = dict(dataset_statistics_path=sp, num_image_tokens=16,
+              image_size=(56, 56), max_seq_len=24, tokenizer=tok)
+    env = ReachEnv(seed=0)
+    obs, _ = env.reset(options={"obj_init_options": {"episode_id": 1}})
+    plain = BridgeSimplerAdapter(**kw).preprocess(env, obs, "reach the red block")
+    padded = BridgeSimplerAdapter(pad_proprio_to=8, **kw).preprocess(
+        env, obs, "reach the red block"
+    )
+    assert plain["proprios"].shape == (1, 1, 7)
+    assert padded["proprios"].shape == (1, 1, 8)
+    np.testing.assert_array_equal(padded["proprios"][..., :7], plain["proprios"])
+    assert padded["proprios"][..., 7] == 0.0
+
+
+@pytest.mark.slow
+def test_cross_family_mix_through_pipeline(tmp_path):
+    """The stock `oxe_simple` mix (bridge_dataset + fractal20220817_data)
+    interleaves bridge reach demos (7-dim POS_EULER proprio) with fractal
+    drawer demos (8-dim POS_QUAT): max_proprio_dim=8 zero-pads bridge
+    frames so one policy trains on both families (reference
+    traj_transforms.py:141-165 is this exact mechanism)."""
+    from open_pi_zero_tpu.agents.dataset import RLDSInterleavedDataset
+    from open_pi_zero_tpu.config import ConfigDict
+    from open_pi_zero_tpu.envs import write_demo_dataset
+
+    d = str(tmp_path / "rlds")
+    assert write_demo_dataset(os.path.join(d, "bridge_dataset"), 4, seed=0) == 1.0
+    assert write_fractal_demo_dataset(
+        os.path.join(d, "fractal20220817_data"), 4, seed=0
+    ) == 1.0
+    cfg = ConfigDict(
+        {
+            "dataset_mix": "oxe_simple",
+            "data_path": d,
+            "split": "train",
+            "window_size": 1,
+            "action_horizon": 4,
+            "skip_unlabeled": True,
+            "load_proprio": True,
+            "augment": False,
+            "max_proprio_dim": 8,
+            "shuffle_buffer_size": 256,
+            "num_parallel_calls": 2,
+            # thread allocation needs >= 1 thread per dataset in the mix
+            # (allocate_threads, reference data_utils.py:424-454)
+            "traj_transform_threads": 2,
+            "traj_read_threads": 2,
+            "resize_size": [56, 56],
+        }
+    )
+    ds = RLDSInterleavedDataset(cfg, train=True)
+    batch = next(ds.iterator(96, shard_per_process=False))
+    prop = batch["observation"]["proprio"]
+    assert prop.shape[-1] == 8
+    names = {n.decode() for n in batch["dataset_name"].reshape(-1)}
+    assert names == {"bridge_dataset", "fractal20220817_data"}
+    # bridge frames are zero-padded in the 8th proprio dim; fractal frames
+    # carry a real quaternion component there
+    is_bridge = np.array(
+        [n == b"bridge_dataset" for n in batch["dataset_name"].reshape(-1)]
+    )
+    assert np.all(prop.reshape(len(is_bridge), 8)[is_bridge, 7] == 0.0)
+    assert len(ds.dataset.dataset_statistics) == 2
+
+
 def test_handle_positions_track_extension():
     env = DrawerEnv(seed=0)
     env.reset(options={"obj_init_options": {"episode_id": 0}})
