@@ -49,7 +49,12 @@ def make_env(task: str, seed: int = 0):
         return PickPlaceEnv(seed=seed)
     if task == "simpler_lite_drawer":
         return DrawerEnv(seed=seed)
+    if task.startswith("simpler_lite_drawer_"):
+        # single-target variants for per-target data-efficiency runs;
+        # layouts per episode_id match the unrestricted env
+        return DrawerEnv(seed=seed, target=task.rsplit("_", 1)[-1])
     raise ValueError(
         f"unknown simpler_lite task {task!r}; known: simpler_lite_reach, "
         "simpler_lite_reach_multi, simpler_lite_pick_place, simpler_lite_drawer"
+        " (optionally suffixed _top/_middle/_bottom)"
     )

@@ -75,10 +75,18 @@ class DrawerEnv:
     gripper.
     """
 
-    def __init__(self, seed: int = 0, render_size: int = 112, max_steps: int = 112):
+    def __init__(self, seed: int = 0, render_size: int = 112, max_steps: int = 112,
+                 target: Optional[str] = None):
         self.base_seed = int(seed)
         self.render_size = int(render_size)
         self.max_steps = int(max_steps)
+        # Optional single-target restriction ("top"/"middle"/"bottom") for
+        # per-target data-efficiency experiments. The unrestricted target
+        # draw still happens at reset so cabinet/eef layouts for a given
+        # episode_id are IDENTICAL to the 3-target env.
+        if target is not None and target not in NAMES:
+            raise ValueError(f"unknown drawer target {target!r}; known: {NAMES}")
+        self._fixed_target = None if target is None else NAMES.index(target)
         lo, hi = WORKSPACE
         centers = lo + (np.arange(self.render_size) + 0.5) * (hi - lo) / self.render_size
         self._px_x = centers[None, :]
@@ -98,6 +106,8 @@ class DrawerEnv:
         )
         self.ext = np.zeros(3)  # per-drawer extension in [0, D_MAX]
         self.target_idx = int(rng.integers(3))
+        if self._fixed_target is not None:
+            self.target_idx = self._fixed_target
         self.instruction = INSTRUCTIONS[self.target_idx]
         self.eef = np.array([rng.uniform(0.08, 0.17), rng.uniform(-0.12, 0.12)])
         self.closedness = 0.0
@@ -244,6 +254,7 @@ def collect_fractal_demos(
     render_size: int = 112,
     hold_steps: int = 4,
     max_steps: Optional[int] = None,
+    target: Optional[str] = None,
 ) -> Tuple[List[dict], float]:
     """Roll the drawer expert; returns (episodes in the raw
     fractal20220817_data step schema, expert success rate). Unlike the
@@ -252,7 +263,7 @@ def collect_fractal_demos(
     import tensorflow as tf
 
     env = DrawerEnv(seed=seed, render_size=render_size,
-                    max_steps=int(max_steps or 112))
+                    max_steps=int(max_steps or 112), target=target)
     episodes, successes = [], []
     for ep_id in range(n_episodes):
         obs, _ = env.reset(options={"obj_init_options": {"episode_id": ep_id}})
@@ -306,6 +317,7 @@ def write_fractal_demo_dataset(
     shards: int = 4,
     max_steps: Optional[int] = None,
     dataset_name: str = "fractal20220817_data",
+    target: Optional[str] = None,
 ) -> float:
     """Collect drawer demos and write them as a raw fractal20220817_data
     RLDS dir, byte-compatible with what the production fractal pipeline
@@ -314,7 +326,8 @@ def write_fractal_demo_dataset(
     from open_pi_zero_tpu.data import rlds
 
     episodes, expert_rate = collect_fractal_demos(
-        n_episodes, seed=seed, render_size=render_size, max_steps=max_steps
+        n_episodes, seed=seed, render_size=render_size, max_steps=max_steps,
+        target=target,
     )
     leaves = [
         rlds.LeafSpec(

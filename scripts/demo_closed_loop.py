@@ -71,7 +71,7 @@ def model_geometry(hidden: int, layers: int, proprio_dim: int = 7) -> dict:
 
 def run_eval(cfg_geometry, params, stats_path, tokenizer, n_episodes, seed,
              act_steps=4, refine_from_prev=0.0, task="reach", adapter_name="bridge",
-             pad_proprio_to=None):
+             pad_proprio_to=None, env_task=None):
     from open_pi_zero_tpu.agents.env_adapter import make_adapter
     from open_pi_zero_tpu.agents.eval import EvalAgent
     from open_pi_zero_tpu.config import ConfigDict
@@ -94,10 +94,10 @@ def run_eval(cfg_geometry, params, stats_path, tokenizer, n_episodes, seed,
         "record_video": False,
         "act_steps": act_steps,
         "refine_from_prev": refine_from_prev,
-        "env": {"task": f"simpler_lite_{task}"},  # first reset keys placement
+        "env": {"task": f"simpler_lite_{env_task or task}"},  # first reset keys placement
         **cfg_geometry,
     })
-    env = make_env(f"simpler_lite_{task}", seed=seed)
+    env = make_env(f"simpler_lite_{env_task or task}", seed=seed)
     agent = EvalAgent(cfg, env=env, adapter=adapter, params=params)
     return agent.run()
 
@@ -121,6 +121,11 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--eval-seed", type=int, default=1000,
                     help="episode layouts disjoint from the demo seed 0")
+    ap.add_argument("--drawer-target", default=None,
+                    choices=["top", "middle", "bottom"],
+                    help="restrict the drawer task to ONE language target "
+                         "(demos AND eval) — isolates per-target data "
+                         "efficiency from the 3-target mix")
     ap.add_argument("--resume", action="store_true",
                     help="continue from the newest checkpoint in --workdir "
                          "(raise --n-updates past the finished run's count)")
@@ -175,7 +180,8 @@ def main():
                 from open_pi_zero_tpu.envs import write_fractal_demo_dataset
 
                 expert_rate[task] = write_fractal_demo_dataset(
-                    ds_dir, args.n_demos, seed=0, dataset_name=name
+                    ds_dir, args.n_demos, seed=0, dataset_name=name,
+                    target=args.drawer_target,
                 )
             else:
                 expert_rate[task] = write_demo_dataset(
@@ -274,15 +280,17 @@ def main():
         # under a cross-family policy pad their 7-dim proprio to 8
         adapter_name = "edr" if task == "drawer" else "bridge"
         pad_to = 8 if (multi_family and task != "drawer") else None
+        env_task = (f"drawer_{args.drawer_target}"
+                    if task == "drawer" and args.drawer_target else None)
         trained[task] = run_eval(
             geometry, params, stats_paths[task], fresh_tokenizer(),
             args.n_eval_episodes, args.eval_seed, task=task,
-            adapter_name=adapter_name, pad_proprio_to=pad_to)
+            adapter_name=adapter_name, pad_proprio_to=pad_to, env_task=env_task)
         log.info("trained policy [%s]: %s", task, trained[task])
         control[task] = run_eval(
             geometry, rand_params, stats_paths[task], fresh_tokenizer(),
             args.n_eval_episodes, args.eval_seed, task=task,
-            adapter_name=adapter_name, pad_proprio_to=pad_to)
+            adapter_name=adapter_name, pad_proprio_to=pad_to, env_task=env_task)
         log.info("random-init control [%s]: %s", task, control[task])
 
     def rates(d):
@@ -291,7 +299,8 @@ def main():
         return d[args.task]["success_rate"]
 
     result = {
-        "task": f"simpler_lite_{args.task}",
+        "task": f"simpler_lite_{args.task}"
+                + (f"_{args.drawer_target}" if args.drawer_target else ""),
         "n_demos": args.n_demos,
         "n_updates": args.n_updates,
         "n_eval_episodes": args.n_eval_episodes,

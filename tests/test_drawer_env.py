@@ -343,3 +343,28 @@ def test_grasp_radius_excludes_neighbor_handles():
                     np.linalg.norm(env.handle_pos(i) - env.handle_pos(j))
                     > 2 * GRASP_RADIUS
                 )
+
+
+def test_fixed_target_restriction_preserves_layouts():
+    """target= pins the instructed drawer for per-target data-efficiency
+    runs while keeping cabinet/eef placement for a given episode_id
+    IDENTICAL to the 3-target env (the unrestricted RNG draw still
+    happens), so single-target and mixed runs see the same layout
+    distribution."""
+    from open_pi_zero_tpu.envs import make_env
+    from open_pi_zero_tpu.envs.drawer_env import collect_fractal_demos
+
+    free = DrawerEnv(seed=5)
+    pinned = make_env("simpler_lite_drawer_bottom", seed=5)
+    for ep in range(8):
+        free.reset(options={"obj_init_options": {"episode_id": ep}})
+        pinned.reset(options={"obj_init_options": {"episode_id": ep}})
+        assert np.allclose(free.cab, pinned.cab)
+        assert np.allclose(free.eef, pinned.eef)
+        assert pinned.target_idx == 2
+        assert pinned.instruction == "open the bottom drawer"
+    # demo collection honors the restriction end-to-end
+    eps, rate = collect_fractal_demos(3, target="middle")
+    for e in eps:
+        instr = e["steps"]["observation"]["natural_language_instruction"][0]
+        assert instr == b"open the middle drawer"
