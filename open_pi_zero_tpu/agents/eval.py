@@ -197,6 +197,7 @@ class EvalAgent:
         env, adapter = self.env, self.adapter
         cnt_episode = 0
         successes = []
+        episode_instructions = []  # first instruction per episode
         per_step_times = []
         video_writer = None
         timer = Timer()
@@ -206,6 +207,7 @@ class EvalAgent:
             env_reset_options = {"obj_init_options": {"episode_id": cnt_episode}}
         obs, reset_info = env.reset(seed=self.seed, options=env_reset_options)
         instruction = env.get_language_instruction()
+        episode_instructions.append(instruction)
         adapter.reset()
         self.reset_policy_cache()
         log.info("instruction: %s", instruction)
@@ -241,15 +243,26 @@ class EvalAgent:
                 env_reset_options["obj_init_options"] = {"episode_id": cnt_episode}
                 obs, reset_info = env.reset(options=env_reset_options)
                 instruction = env.get_language_instruction()
+                episode_instructions.append(instruction)
                 adapter.reset()
                 self.reset_policy_cache()
                 if self.record_video and cnt_episode < self.n_video:
                     video_writer = self._open_video(cnt_episode)
 
         success_rate = float(np.mean(successes)) if successes else 0.0
+        # per-(first-)instruction breakdown — the spatial/language failure
+        # localization the reference does by running per-task eval configs
+        # (README.md:90-114); here one run reports all targets
+        by_instr = {}
+        for instr, s in zip(episode_instructions, successes):
+            n_ok, n = by_instr.get(instr, (0, 0))
+            by_instr[instr] = (n_ok + int(s), n + 1)
         result = {
             "n_episodes": cnt_episode,
             "success_rate": success_rate,
+            "success_by_instruction": {
+                k: f"{ok}/{n}" for k, (ok, n) in sorted(by_instr.items())
+            },
             "mean_inference_time_s": (
                 float(np.mean(per_step_times[1:])) if len(per_step_times) > 1 else None
             ),  # exclude compile warm-up, reference try_checkpoint:111-115

@@ -398,6 +398,9 @@ def test_eval_agent_loop(tmp_path, monkeypatch):
     assert result["n_episodes"] == 4
     assert result["success_rate"] == 0.5  # even episodes succeed
     assert result["mean_inference_time_s"] is not None
+    # per-instruction breakdown: FakeEnv issues one instruction for all
+    # episodes, so the single bucket carries the 2/4 aggregate
+    assert result["success_by_instruction"] == {"put the spoon on the towel": "2/4"}
 
 
 @pytest.mark.slow
