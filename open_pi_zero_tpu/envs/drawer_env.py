@@ -119,6 +119,21 @@ class DrawerEnv:
     def get_language_instruction(self) -> str:
         return self.instruction
 
+    def randomize_start(self, rng: np.random.Generator) -> dict:
+        """Redraw the eef start uniformly over the FULL workspace (demo
+        collection only — eval keeps the episode-keyed start). The default
+        start band (y in [-0.12, 0.12]) lies mostly BELOW the bottom
+        handle (y in [0.07, 0.14]), so bottom-target demos almost never
+        contain corrective -y approaches; a policy that open-loop replays
+        the mean demo (race +y, close on schedule) fits that data nearly
+        as well as a servoing one and fails closed-loop. Full-workspace
+        starts put states above/beside every handle into the demos, which
+        decorrelates approach duration from close timing and forces
+        state-conditioned behavior. Returns the refreshed obs."""
+        lo, hi = WORKSPACE
+        self.eef = rng.uniform(lo + 0.01, hi - 0.01, size=2)
+        return self._obs()
+
     def handle_pos(self, i: int) -> np.ndarray:
         """World xy of drawer i's handle center."""
         x = self.cab[0] + CABINET_HALF_W + self.ext[i] + HANDLE_OFF
@@ -255,6 +270,7 @@ def collect_fractal_demos(
     hold_steps: int = 4,
     max_steps: Optional[int] = None,
     target: Optional[str] = None,
+    start_coverage: bool = False,
 ) -> Tuple[List[dict], float]:
     """Roll the drawer expert; returns (episodes in the raw
     fractal20220817_data step schema, expert success rate). Unlike the
@@ -268,6 +284,8 @@ def collect_fractal_demos(
     for ep_id in range(n_episodes):
         obs, _ = env.reset(options={"obj_init_options": {"episode_id": ep_id}})
         rng = np.random.default_rng((seed, ep_id, 23))
+        if start_coverage:
+            obs = env.randomize_start(rng)
         images, bases, grips, wv, rot, gca = [], [], [], [], [], []
         success_at = None
         while True:
@@ -318,6 +336,7 @@ def write_fractal_demo_dataset(
     max_steps: Optional[int] = None,
     dataset_name: str = "fractal20220817_data",
     target: Optional[str] = None,
+    start_coverage: bool = False,
 ) -> float:
     """Collect drawer demos and write them as a raw fractal20220817_data
     RLDS dir, byte-compatible with what the production fractal pipeline
@@ -327,7 +346,7 @@ def write_fractal_demo_dataset(
 
     episodes, expert_rate = collect_fractal_demos(
         n_episodes, seed=seed, render_size=render_size, max_steps=max_steps,
-        target=target,
+        target=target, start_coverage=start_coverage,
     )
     leaves = [
         rlds.LeafSpec(

@@ -126,6 +126,10 @@ def main():
                     help="restrict the drawer task to ONE language target "
                          "(demos AND eval) — isolates per-target data "
                          "efficiency from the 3-target mix")
+    ap.add_argument("--drawer-start-coverage", action="store_true",
+                    help="collect drawer demos from full-workspace eef "
+                         "starts (anti-covariate-shift; eval starts stay "
+                         "episode-keyed defaults)")
     ap.add_argument("--resume", action="store_true",
                     help="continue from the newest checkpoint in --workdir "
                          "(raise --n-updates past the finished run's count)")
@@ -182,6 +186,7 @@ def main():
                 expert_rate[task] = write_fractal_demo_dataset(
                     ds_dir, args.n_demos, seed=0, dataset_name=name,
                     target=args.drawer_target,
+                    start_coverage=args.drawer_start_coverage,
                 )
             else:
                 expert_rate[task] = write_demo_dataset(
