@@ -250,9 +250,13 @@ class EvalAgent:
                     video_writer = self._open_video(cnt_episode)
 
         success_rate = float(np.mean(successes)) if successes else 0.0
-        # per-(first-)instruction breakdown — the spatial/language failure
+        # per-instruction breakdown — the spatial/language failure
         # localization the reference does by running per-task eval configs
-        # (README.md:90-114); here one run reports all targets
+        # (README.md:90-114); here one run reports all targets. Episodes
+        # are bucketed by their FIRST instruction: on multi-subtask envs
+        # (simpler_lite_reach_multi) a mid-episode instruction switch stays
+        # attributed to the opening instruction, so the breakdown reads as
+        # "episodes that STARTED with k", not per-subtask success.
         by_instr = {}
         for instr, s in zip(episode_instructions, successes):
             n_ok, n = by_instr.get(instr, (0, 0))
@@ -260,6 +264,7 @@ class EvalAgent:
         result = {
             "n_episodes": cnt_episode,
             "success_rate": success_rate,
+            # first-instruction semantics (see comment above)
             "success_by_instruction": {
                 k: f"{ok}/{n}" for k, (ok, n) in sorted(by_instr.items())
             },

@@ -129,9 +129,26 @@ class DrawerEnv:
         as well as a servoing one and fails closed-loop. Full-workspace
         starts put states above/beside every handle into the demos, which
         decorrelates approach duration from close timing and forces
-        state-conditioned behavior. Returns the refreshed obs."""
+        state-conditioned behavior. Starts are rejection-sampled outside
+        the cabinet body rectangle and outside every handle's grasp radius
+        so coverage demos stay physically plausible (the kinematic env
+        would otherwise allow pass-through starts a real sim forbids).
+        Returns the refreshed obs."""
         lo, hi = WORKSPACE
-        self.eef = rng.uniform(lo + 0.01, hi - 0.01, size=2)
+        x0 = self.cab[0] - CABINET_HALF_W
+        x1 = self.cab[0] + CABINET_HALF_W + PANEL_THICK
+        y0 = self.cab[1] - CABINET_HALF_H
+        y1 = self.cab[1] + CABINET_HALF_H
+        for _ in range(100):
+            eef = rng.uniform(lo + 0.01, hi - 0.01, size=2)
+            in_cabinet = (x0 <= eef[0] <= x1) and (y0 <= eef[1] <= y1)
+            near_handle = any(
+                np.linalg.norm(self.handle_pos(i) - eef) < GRASP_RADIUS
+                for i in range(3)
+            )
+            if not in_cabinet and not near_handle:
+                break
+        self.eef = eef
         return self._obs()
 
     def handle_pos(self, i: int) -> np.ndarray:

@@ -175,7 +175,16 @@ def main():
     else:
         mix = "bridge"
         demo_sets = [(args.task, "bridge_dataset")]
-    data_dir = os.path.join(args.workdir, "rlds")
+    # demo-cache key: collection settings are encoded in the rlds dir name
+    # so a rerun with different --n-demos / --drawer-target /
+    # --drawer-start-coverage can never silently train on stale demos
+    # (the per-dataset dir names inside must stay registry names)
+    tag = f"_n{args.n_demos}"
+    if args.drawer_target:
+        tag += f"_{args.drawer_target}"
+    if args.drawer_start_coverage:
+        tag += "_cov"
+    data_dir = os.path.join(args.workdir, "rlds" + tag)
     expert_rate = {}
     for task, name in demo_sets:
         ds_dir = os.path.join(data_dir, name)
