@@ -280,34 +280,11 @@ def stage_episodes(params, cfg_dict, model_cfg, episodes):
 # --------------------------------------------------------------------------- #
 
 
-def self_test() -> bool:
-    import jax
-    import jax.numpy as jnp
+def _selftest_inputs(cfg):
+    """Deterministic text + action inputs shared by the live-torch and
+    fixture-replay self-test paths (rng draw order is part of the golden)."""
     import numpy as np
 
-    parity_dir = os.path.join(REPO, "tests")
-    if parity_dir not in sys.path:
-        sys.path.insert(0, parity_dir)
-    from tests import test_reference_parity_pizero as parity
-
-    if not os.path.isdir("/root/reference/src"):
-        _report("self-test", "SKIP", "reference not mounted")
-        return True
-
-    import torch
-
-    ref, cfg, _ = parity.build_models(seed=3, lm_head=True)
-
-    # 1) the REAL load path: state_dict -> .pt -> load_vla_checkpoint
-    with tempfile.TemporaryDirectory() as td:
-        pt = os.path.join(td, "ckpt.pt")
-        torch.save({"model": ref.state_dict(), "cnt_update": 0}, pt)
-        params = stage_load(pt, cfg, jnp.float32)
-
-    ok = True
-
-    # 2) textgen vs the torch reference's own prefill logits (greedy first
-    # token) — the strongest in-process stand-in for recorded golden tokens
     n_img = cfg.siglip.num_image_tokens
     rng = np.random.default_rng(9)
     s = n_img + 3
@@ -316,29 +293,7 @@ def self_test() -> bool:
     ids[:, n_img] = 2
     pix = rng.normal(size=(1, 3, cfg.siglip.image_size, cfg.siglip.image_size))
     pix = pix.astype(np.float32)
-    import src.model.vla.pizero as ref_mod
 
-    ref_mod.bsz = 1
-    with torch.no_grad():
-        want_logits = ref.infer_text(
-            input_ids=torch.from_numpy(ids),
-            pixel_values=torch.from_numpy(pix),
-            attention_mask=torch.from_numpy(np.ones((1, s), np.int64)),
-            kv_cache=ref.build_text_cache(),
-        )["logits"].numpy()
-    expected_first = int(want_logits[0, -1].argmax())
-    from open_pi_zero_tpu.models import pizero as ours
-
-    toks = np.asarray(
-        ours.generate_text(
-            params, cfg, jnp.asarray(ids, jnp.int32),
-            jnp.asarray(pix.transpose(0, 2, 3, 1)), max_new_tokens=3,
-        )
-    )
-    ok &= _check("textgen", int(toks[0, 0]) == expected_first,
-                 f"first greedy token {int(toks[0, 0])} vs torch {expected_first}")
-
-    # 3) infer_action parity vs torch with injected noise
     b = 2
     idsv = np.zeros((b, cfg.max_image_text_tokens), np.int64)
     idsv[:, :n_img] = cfg.image_token_index
@@ -351,6 +306,30 @@ def self_test() -> bool:
     ).astype(np.float32)
     prop = rng.normal(size=(b, cfg.cond_steps, cfg.proprio_dim)).astype(np.float32)
     a0 = rng.normal(size=(b, cfg.horizon_steps, cfg.action_dim)).astype(np.float32)
+    return ids, pix, idsv, am, pixv, prop, a0
+
+
+def _selftest_reference_payload(parity, golden, cfg):
+    """Live torch path: build the reference model, compute the golden
+    logits + action chunk, and RECORD them (tests/fixtures/verify_selftest)
+    so the self-test keeps running after the reference mount is gone."""
+    import numpy as np
+    import torch
+
+    ref, _, _ = parity.build_models(seed=3, lm_head=True)
+    ids, pix, idsv, am, pixv, prop, a0 = _selftest_inputs(cfg)
+
+    import src.model.vla.pizero as ref_mod
+
+    ref_mod.bsz = 1
+    with torch.no_grad():
+        want_logits = ref.infer_text(
+            input_ids=torch.from_numpy(ids),
+            pixel_values=torch.from_numpy(pix),
+            attention_mask=torch.from_numpy(np.ones(ids.shape, np.int64)),
+            kv_cache=ref.build_text_cache(),
+        )["logits"].numpy()
+
     orig_randn = torch.randn
     torch.randn = lambda *shape, **kw: torch.from_numpy(a0.copy())
     try:
@@ -359,7 +338,7 @@ def self_test() -> bool:
         )
         prefix_mask, action_mask = ref.split_full_mask_into_submasks(mask)
         with torch.no_grad():
-            want = ref.infer_action(
+            want_action = ref.infer_action(
                 input_ids=torch.from_numpy(idsv),
                 pixel_values=torch.from_numpy(pixv),
                 image_text_proprio_mask=prefix_mask,
@@ -371,6 +350,74 @@ def self_test() -> bool:
             ).numpy()
     finally:
         torch.randn = orig_randn
+    return golden.save_fixture("verify_selftest", {
+        "state": golden.state_to_numpy(ref.state_dict()),
+        "want_logits": want_logits, "want_action": want_action,
+    })
+
+
+def self_test() -> bool:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    from tests import golden
+    from tests import test_reference_parity_pizero as parity
+
+    cfg = parity.build_our_cfg(lm_head=True)
+    if golden.reference_mounted():
+        payload = _selftest_reference_payload(parity, golden, cfg)
+        source = "live torch reference (fixture refreshed)"
+    elif golden.have_fixture("verify_selftest"):
+        payload = golden.load_fixture("verify_selftest")
+        source = "recorded fixture (reference not mounted)"
+    else:
+        _report("self-test", "SKIP", "reference not mounted and no fixture")
+        return True
+    _report("self-test", "PASS", source)
+    ids, pix, idsv, am, pixv, prop, a0 = _selftest_inputs(cfg)
+
+    # 1) the REAL load path: state_dict -> .pt -> load_vla_checkpoint
+    # (fixture replay reconstructs the torch state_dict from numpy; if even
+    # torch is gone, the converter consumes the numpy state directly)
+    try:
+        import torch
+    except ImportError:
+        torch = None
+    if torch is not None:
+        state = {
+            k: (torch.from_numpy(v) if isinstance(v, np.ndarray) else v)
+            for k, v in payload["state"].items()
+        }
+        with tempfile.TemporaryDirectory() as td:
+            pt = os.path.join(td, "ckpt.pt")
+            torch.save({"model": state, "cnt_update": 0}, pt)
+            params = stage_load(pt, cfg, jnp.float32)
+    else:
+        from open_pi_zero_tpu.models import convert
+
+        params = convert.convert_vla_state_dict(dict(payload["state"]), cfg)
+        _report("load", "PASS", "converter direct (torch unavailable)")
+
+    ok = True
+
+    # 2) textgen vs the recorded reference prefill logits (greedy first
+    # token) — the strongest in-process stand-in for recorded golden tokens
+    expected_first = int(payload["want_logits"][0, -1].argmax())
+    from open_pi_zero_tpu.models import pizero as ours
+
+    toks = np.asarray(
+        ours.generate_text(
+            params, cfg, jnp.asarray(ids, jnp.int32),
+            jnp.asarray(pix.transpose(0, 2, 3, 1)), max_new_tokens=3,
+        )
+    )
+    ok &= _check("textgen", int(toks[0, 0]) == expected_first,
+                 f"first greedy token {int(toks[0, 0])} vs torch {expected_first}")
+
+    # 3) infer_action parity vs the recorded torch chunk (injected noise)
     got = np.asarray(
         ours.infer_action(
             params, cfg, jax.random.key(0), jnp.asarray(idsv, jnp.int32),
@@ -378,7 +425,7 @@ def self_test() -> bool:
             jnp.asarray(prop), action0=jnp.asarray(a0),
         )
     )
-    err = float(np.max(np.abs(got - want)))
+    err = float(np.max(np.abs(got - payload["want_action"])))
     ok &= _check("parity", err < 2e-4, f"infer_action max|diff| {err:.2e} vs torch")
 
     # 4) cached-vs-naive oracle + 5) quantized serving drift (fp32 here, so

@@ -8,6 +8,13 @@ softcap semantics, block-mask handling and embed scaling end-to-end
 against the source of truth (SURVEY.md §4: "golden-value parity tests
 against captured PyTorch activations").
 
+Each live test is split into a ``_record_*`` half (torch side: builds
+inputs, runs the reference, SAVES the payload to tests/fixtures/) and a
+``_verify_*`` half (our side: consumes only the payload). The quick-tier
+``tests/test_golden_fixtures.py`` replays the committed payloads through
+the same ``_verify_*`` functions with no torch/reference dependency, so
+the parity evidence outlives the reference mount.
+
 The reference's unused heavy deps (bitsandbytes CUDA, omegaconf) are
 stubbed — only the pure-torch compute path runs.
 """
@@ -19,7 +26,9 @@ import types
 import numpy as np
 import pytest
 
-REF = "/root/reference"
+from tests import golden
+
+REF = golden.REF
 pytestmark = [
     pytest.mark.slow,  # torch-parity tier: run with `pytest -m slow` / full suite
     pytest.mark.skipif(
@@ -105,35 +114,71 @@ MIX = dict(
 )
 LENS = dict(vlm=7, proprio=1, action=4)
 
+# a second, MID geometry for trunk-hidden goldens (deeper/wider than the
+# tiny one so the recorded evidence also covers multi-layer accumulation
+# at the reference's 8Q/1KV GQA ratio)
+GEOM_MID = dict(
+    num_hidden_layers=3,
+    num_attention_heads=8,
+    num_key_value_heads=1,
+    head_dim=24,
+    rms_norm_eps=1e-6,
+    attention_bias=False,
+    attention_dropout=0.0,
+    time_hidden_size=32,
+)
+MIX_MID = dict(
+    vlm=dict(hidden_size=96, intermediate_size=384, use_final_norm=False,
+             cache=True, use_quantize=False, use_lora=False, adaptive_mode=None,
+             rope_theta=10000.0),
+    proprio=dict(hidden_size=48, intermediate_size=192, use_final_norm=True,
+                 cache=True, use_quantize=False, use_lora=False, adaptive_mode=None,
+                 rope_theta=100.0),
+    action=dict(hidden_size=48, intermediate_size=192, use_final_norm=True,
+                cache=False, use_quantize=False, use_lora=False, adaptive_mode=None,
+                rope_theta=100.0),
+)
+LENS_MID = dict(vlm=16, proprio=1, action=4)
 
-def _our_joint_config():
-    from open_pi_zero_tpu.config import JointConfig, MixtureConfig
+
+def _joint_config(geom, mix, lora_vlm_r: int = 0, adaln: bool = False):
+    from open_pi_zero_tpu.config import JointConfig, LoraConfig, MixtureConfig
 
     mixtures = tuple(
         MixtureConfig(
             hidden_size=m["hidden_size"], intermediate_size=m["intermediate_size"],
             use_final_norm=m["use_final_norm"], cache=m["cache"],
             rope_theta=m["rope_theta"],
+            use_lora=bool(lora_vlm_r) and n == "vlm",
+            lora=LoraConfig(r=lora_vlm_r, dropout=0.0) if lora_vlm_r else LoraConfig(),
+            adaptive_mode="adaLN-Zero" if adaln and n in ("proprio", "action") else None,
         )
-        for m in MIX.values()
+        for n, m in mix.items()
     )
     return JointConfig(
-        num_hidden_layers=GEOM["num_hidden_layers"],
-        num_attention_heads=GEOM["num_attention_heads"],
-        num_key_value_heads=GEOM["num_key_value_heads"],
-        head_dim=GEOM["head_dim"],
-        time_hidden_size=GEOM["time_hidden_size"],
+        num_hidden_layers=geom["num_hidden_layers"],
+        num_attention_heads=geom["num_attention_heads"],
+        num_key_value_heads=geom["num_key_value_heads"],
+        head_dim=geom["head_dim"],
+        time_hidden_size=geom["time_hidden_size"],
         mixtures=mixtures,
         tie_proprio=False,  # the reference model has separate modules
     )
 
 
+def _our_joint_config():
+    return _joint_config(GEOM, MIX)
+
+
 def _convert_ref_state(state, jcfg):
-    """Reference JointModel.state_dict() -> our joint params via the
-    production converter (models/convert.py)."""
+    """Reference JointModel state (torch state_dict OR flat numpy dict from
+    a fixture) -> our joint params via the production converter
+    (models/convert.py)."""
     from open_pi_zero_tpu.models import convert
 
-    tensors = {k: v.numpy() for k, v in state.items()}
+    tensors = {
+        k: (v if isinstance(v, np.ndarray) else v.numpy()) for k, v in state.items()
+    }
 
     class _C:  # convert_gemma_mixture only reads cfg.joint.num_hidden_layers
         joint = jcfg
@@ -147,30 +192,41 @@ def _convert_ref_state(state, jcfg):
     return out
 
 
-@pytest.fixture(scope="module")
-def ref_and_ours():
+def _build_ref_joint(geom, mix, seed: int):
     _install_stubs()
     import torch
 
-    from omegaconf import OmegaConf  # the stub
     from open_pi_zero_tpu.config import ConfigDict
     from src.model.vla.joint_model import JointModel
 
-    cfg = ConfigDict({**GEOM, "mixture": {k: ConfigDict(v) for k, v in MIX.items()}})
-    torch.manual_seed(0)
+    cfg = ConfigDict({**geom, "mixture": {k: ConfigDict(v) for k, v in mix.items()}})
+    torch.manual_seed(seed)
     ref = JointModel(cfg)
     ref.eval()
-
-    jcfg = _our_joint_config()
-    params = _convert_ref_state(ref.state_dict(), jcfg)
-    return ref, jcfg, params
+    return ref
 
 
-def test_training_forward_parity(ref_and_ours):
+@pytest.fixture(scope="module")
+def ref_joint():
+    return _build_ref_joint(GEOM, MIX, seed=0)
+
+
+def _block_inputs(seed, lens, mix, b, pad_last_rows=0):
+    """Seeded embeds + per-row valid-token counts shared by record & verify."""
+    rng = np.random.default_rng(seed)
+    embeds = {
+        n: rng.normal(size=(b, lens[n], mix[n]["hidden_size"])).astype(np.float32) * 0.1
+        for n in lens
+    }
+    cnt = np.full((b,), lens["vlm"], np.int32)
+    if pad_last_rows and b > 1:
+        cnt[1] = lens["vlm"] - pad_last_rows  # ragged text padding in one row
+    return embeds, cnt
+
+
+def _mask_and_pos(cnt, lens):
     import jax.numpy as jnp
-    import torch
 
-    from open_pi_zero_tpu.models import joint as joint_lib
     from open_pi_zero_tpu.ops.masks import (
         action_position_ids,
         build_block_causal_mask,
@@ -178,70 +234,111 @@ def test_training_forward_parity(ref_and_ours):
         vlm_position_ids,
     )
 
-    ref, jcfg, params = ref_and_ours
-    rng = np.random.default_rng(0)
-    B = 2
-    embeds = {
-        n: rng.normal(size=(B, LENS[n], MIX[n]["hidden_size"])).astype(np.float32) * 0.1
-        for n in LENS
-    }
-    attn_valid = np.ones((B, LENS["vlm"]), np.int32)
-    attn_valid[1, -2:] = 0  # ragged text padding in one batch row
+    b = len(cnt)
     mask = build_block_causal_mask(
-        jnp.asarray(attn_valid.sum(-1)), LENS["vlm"], LENS["proprio"], LENS["action"]
+        jnp.asarray(cnt), lens["vlm"], lens["proprio"], lens["action"]
     )
     pos = {
-        "vlm": jnp.broadcast_to(vlm_position_ids(LENS["vlm"]), (B, LENS["vlm"])),
+        "vlm": jnp.broadcast_to(vlm_position_ids(lens["vlm"]), (b, lens["vlm"])),
         "proprio": jnp.broadcast_to(
-            proprio_position_ids(LENS["proprio"]), (B, LENS["proprio"])
+            proprio_position_ids(lens["proprio"]), (b, lens["proprio"])
         ),
         "action": jnp.broadcast_to(
-            action_position_ids(LENS["proprio"], LENS["action"]), (B, LENS["action"])
+            action_position_ids(lens["proprio"], lens["action"]), (b, lens["action"])
         ),
     }
+    return mask, pos
 
-    # ---- reference (torch fp32, training mode = no cache) ----
+
+def _ref_joint_forward(ref, embeds, cnt, lens, time_cond=None, mode="no_append"):
+    """Reference training-mode forward (torch fp32, no cache) -> action out."""
+    import torch
+
+    mask, pos = _mask_and_pos(cnt, lens)
+    kwargs = {}
+    if time_cond is not None:
+        kwargs["time_cond"] = torch.from_numpy(time_cond)
     with torch.no_grad():
-        ref_out = ref(
+        return ref(
             attention_mask=torch.from_numpy(np.asarray(mask, np.float32)),
             position_ids_all={
                 n: torch.from_numpy(np.asarray(pos[n])).long() for n in pos
             },
-            embeds_all={n: torch.from_numpy(embeds[n].copy()) for n in LENS},
+            embeds_all={n: torch.from_numpy(embeds[n].copy()) for n in embeds},
             kv_caches={},
-            cache_mode="no_append",
+            cache_mode=mode,
+            **kwargs,
         )["action"].numpy()
 
-    # ---- ours ----
+
+# --------------------------------------------------------------------------- #
+# scenario: training-mode joint forward (tiny + mid geometries)
+# --------------------------------------------------------------------------- #
+
+
+def _record_training_forward(ref, name, geom, mix, lens, seed):
+    embeds, cnt = _block_inputs(seed, lens, mix, b=2, pad_last_rows=2)
+    want = _ref_joint_forward(ref, embeds, cnt, lens)
+    return golden.save_fixture(name, {
+        "state": golden.state_to_numpy(ref.state_dict()),
+        "embeds": embeds, "cnt": cnt, "want": want,
+    })
+
+
+def _verify_training_forward(payload, geom, mix, lens):
+    import jax.numpy as jnp
+
+    from open_pi_zero_tpu.models import joint as joint_lib
+
+    jcfg = _joint_config(geom, mix)
+    params = _convert_ref_state(payload["state"], jcfg)
+    mask, pos = _mask_and_pos(payload["cnt"], lens)
     ours = joint_lib.joint_forward(
         params, jcfg,
-        {n: jnp.asarray(embeds[n]) for n in LENS},
+        {n: jnp.asarray(v) for n, v in payload["embeds"].items()},
         pos, mask,
     )["action"]
+    np.testing.assert_allclose(
+        np.asarray(ours), payload["want"], rtol=2e-4, atol=2e-5
+    )
 
-    np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=2e-4, atol=2e-5)
+
+def test_training_forward_parity(ref_joint):
+    payload = _record_training_forward(
+        ref_joint, "joint_training_forward", GEOM, MIX, LENS, seed=0
+    )
+    _verify_training_forward(payload, GEOM, MIX, LENS)
 
 
-def test_gemma_modules_parity(ref_and_ours):
-    """RMSNorm / RoPE / geglu MLP ops vs the reference implementations."""
-    import jax.numpy as jnp
+def test_training_forward_parity_mid_geometry():
+    """Same forward at the MID geometry (3 layers, 8Q/1KV like the real
+    trunk) — records the trunk-hidden golden the tiny geometry can't
+    cover (multi-layer accumulation, wider heads)."""
+    ref = _build_ref_joint(GEOM_MID, MIX_MID, seed=7)
+    payload = _record_training_forward(
+        ref, "joint_training_forward_mid", GEOM_MID, MIX_MID, LENS_MID, seed=7
+    )
+    _verify_training_forward(payload, GEOM_MID, MIX_MID, LENS_MID)
+
+
+# --------------------------------------------------------------------------- #
+# scenario: Gemma module ops (RMSNorm / RoPE)
+# --------------------------------------------------------------------------- #
+
+
+def _record_gemma_modules():
     import torch
 
     from src.model.paligemma.modules import GemmaRMSNorm, GemmaRotaryEmbedding
     from src.model.utils import apply_rotary_pos_emb
 
-    from open_pi_zero_tpu.ops.norms import rms_norm
-    from open_pi_zero_tpu.ops.rope import apply_rope, rope_cos_sin
-
     rng = np.random.default_rng(1)
     x = rng.normal(size=(2, 5, 16)).astype(np.float32)
-
+    w = rng.normal(size=16).astype(np.float32) * 0.1
     norm = GemmaRMSNorm(16)
     with torch.no_grad():
-        norm.weight.copy_(torch.from_numpy(rng.normal(size=16).astype(np.float32) * 0.1))
-        want = norm(torch.from_numpy(x)).numpy()
-    got = rms_norm(jnp.asarray(x), jnp.asarray(norm.weight.detach().numpy()), 1e-6)
-    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
+        norm.weight.copy_(torch.from_numpy(w))
+        want_norm = norm(torch.from_numpy(x)).numpy()
 
     # RoPE: [B, H, S, D] torch layout vs our [B, S, H, D]
     q = rng.normal(size=(2, 3, 5, 8)).astype(np.float32)  # B H S D
@@ -249,55 +346,52 @@ def test_gemma_modules_parity(ref_and_ours):
     rot = GemmaRotaryEmbedding(dim=8, base=100.0)
     with torch.no_grad():
         cos_t, sin_t = rot(torch.from_numpy(q), torch.from_numpy(positions).long())
-        q_ref = apply_rotary_pos_emb(torch.from_numpy(q), cos_t, sin_t)
-    cos, sin = rope_cos_sin(jnp.asarray(positions), 8, 100.0)
-    q_ours = apply_rope(jnp.asarray(q.transpose(0, 2, 1, 3)), cos, sin)
+        want_rope = apply_rotary_pos_emb(torch.from_numpy(q), cos_t, sin_t).numpy()
+    return golden.save_fixture("gemma_modules", {
+        "x": x, "w": w, "want_norm": want_norm,
+        "q": q, "positions": positions, "want_rope": want_rope,
+    })
+
+
+def _verify_gemma_modules(payload):
+    import jax.numpy as jnp
+
+    from open_pi_zero_tpu.ops.norms import rms_norm
+    from open_pi_zero_tpu.ops.rope import apply_rope, rope_cos_sin
+
+    got = rms_norm(jnp.asarray(payload["x"]), jnp.asarray(payload["w"]), 1e-6)
     np.testing.assert_allclose(
-        np.asarray(q_ours), q_ref.numpy().transpose(0, 2, 1, 3), rtol=1e-5, atol=1e-6
+        np.asarray(got), payload["want_norm"], rtol=1e-6, atol=1e-6
+    )
+    cos, sin = rope_cos_sin(jnp.asarray(payload["positions"]), 8, 100.0)
+    q_ours = apply_rope(jnp.asarray(payload["q"].transpose(0, 2, 1, 3)), cos, sin)
+    np.testing.assert_allclose(
+        np.asarray(q_ours), payload["want_rope"].transpose(0, 2, 1, 3),
+        rtol=1e-5, atol=1e-6,
     )
 
 
-def test_cached_action_step_parity(ref_and_ours):
-    """The production path: prefill KV (vlm+proprio) then one action-expert
-    step with cache_mode="append_non_active" — reference pizero.py:430-477 —
-    must match our joint_prefill + joint_action_step."""
-    import jax.numpy as jnp
+def test_gemma_modules_parity():
+    """RMSNorm / RoPE ops vs the reference implementations."""
+    _install_stubs()
+    _verify_gemma_modules(_record_gemma_modules())
+
+
+# --------------------------------------------------------------------------- #
+# scenario: prefill + cached action step (the production inference path)
+# --------------------------------------------------------------------------- #
+
+
+def _record_cached_action_step(ref):
     import torch
 
-    from open_pi_zero_tpu.models import joint as joint_lib
-    from open_pi_zero_tpu.ops.masks import (
-        action_position_ids,
-        build_block_causal_mask,
-        proprio_position_ids,
-        split_prefix_and_action_masks,
-        vlm_position_ids,
-    )
+    embeds, cnt = _block_inputs(2, LENS, MIX, b=2, pad_last_rows=2)
+    full_mask, pos = _mask_and_pos(cnt, LENS)
+    from open_pi_zero_tpu.ops.masks import split_prefix_and_action_masks
 
-    ref, jcfg, params = ref_and_ours
-    rng = np.random.default_rng(2)
-    B = 2
-    embeds = {
-        n: rng.normal(size=(B, LENS[n], MIX[n]["hidden_size"])).astype(np.float32) * 0.1
-        for n in LENS
-    }
-    cnt = np.array([LENS["vlm"], LENS["vlm"] - 2], np.int32)
-    full_mask = build_block_causal_mask(
-        jnp.asarray(cnt), LENS["vlm"], LENS["proprio"], LENS["action"]
-    )
     prefix_mask, action_mask = split_prefix_and_action_masks(
         full_mask, LENS["vlm"], LENS["proprio"], LENS["action"]
     )
-    pos = {
-        "vlm": jnp.broadcast_to(vlm_position_ids(LENS["vlm"]), (B, LENS["vlm"])),
-        "proprio": jnp.broadcast_to(
-            proprio_position_ids(LENS["proprio"]), (B, LENS["proprio"])
-        ),
-        "action": jnp.broadcast_to(
-            action_position_ids(LENS["proprio"], LENS["action"]), (B, LENS["action"])
-        ),
-    }
-
-    # ---- reference: prefill then cached action step ----
     with torch.no_grad():
         kv_caches = ref.build_mixture_caches()
         _ = ref(
@@ -313,7 +407,7 @@ def test_cached_action_step_parity(ref_and_ours):
             kv_caches=kv_caches,
             return_caches=True,
         )
-        ref_out = ref(
+        want = ref(
             attention_mask=torch.from_numpy(np.asarray(action_mask, np.float32)),
             position_ids_all={
                 "action": torch.from_numpy(np.asarray(pos["action"])).long()
@@ -322,8 +416,25 @@ def test_cached_action_step_parity(ref_and_ours):
             kv_caches=kv_caches,
             cache_mode="append_non_active",
         )["action"].numpy()
+    return golden.save_fixture("joint_cached_action_step", {
+        "state": golden.state_to_numpy(ref.state_dict()),
+        "embeds": embeds, "cnt": cnt, "want": want,
+    })
 
-    # ---- ours ----
+
+def _verify_cached_action_step(payload):
+    import jax.numpy as jnp
+
+    from open_pi_zero_tpu.models import joint as joint_lib
+    from open_pi_zero_tpu.ops.masks import split_prefix_and_action_masks
+
+    jcfg = _our_joint_config()
+    params = _convert_ref_state(payload["state"], jcfg)
+    full_mask, pos = _mask_and_pos(payload["cnt"], LENS)
+    prefix_mask, action_mask = split_prefix_and_action_masks(
+        full_mask, LENS["vlm"], LENS["proprio"], LENS["action"]
+    )
+    embeds = payload["embeds"]
     cache = joint_lib.joint_prefill(
         params, jcfg,
         {"vlm": jnp.asarray(embeds["vlm"]), "proprio": jnp.asarray(embeds["proprio"])},
@@ -333,27 +444,37 @@ def test_cached_action_step_parity(ref_and_ours):
     ours = joint_lib.joint_action_step(
         params, jcfg, jnp.asarray(embeds["action"]), cache, pos["action"], action_mask
     )
-    np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(ours), payload["want"], rtol=2e-4, atol=2e-5
+    )
 
 
-def test_siglip_tower_parity():
-    """SigLIP ViT vs the reference torch tower through the production
-    converter (patch conv -> matmul equivalence, pre-LN blocks, tanh-GELU
-    MLP, post-layernorm; reference src/model/paligemma/siglip.py)."""
-    _install_stubs()
-    import jax.numpy as jnp
-    import torch
+def test_cached_action_step_parity(ref_joint):
+    """The production path: prefill KV (vlm+proprio) then one action-expert
+    step with cache_mode="append_non_active" — reference pizero.py:430-477 —
+    must match our joint_prefill + joint_action_step."""
+    _verify_cached_action_step(_record_cached_action_step(ref_joint))
 
-    from src.model.paligemma.siglip import SiglipVisionModel
 
+# --------------------------------------------------------------------------- #
+# scenario: SigLIP tower
+# --------------------------------------------------------------------------- #
+
+
+def _siglip_config():
     from open_pi_zero_tpu.config import SiglipConfig
-    from open_pi_zero_tpu.models import convert, siglip as siglip_lib
 
-    scfg = SiglipConfig(
+    return SiglipConfig(
         hidden_size=32, intermediate_size=64, num_hidden_layers=2,
         num_attention_heads=4, image_size=28, patch_size=14,
         num_image_tokens=4, projection_dim=48,
     )
+
+
+def _record_siglip_tower():
+    import torch
+
+    from src.model.paligemma.siglip import SiglipVisionModel
 
     class _RefCfg:
         hidden_size = 32
@@ -375,38 +496,52 @@ def test_siglip_tower_parity():
     pix = rng.normal(size=(2, 3, 28, 28)).astype(np.float32)
     with torch.no_grad():
         want = ref(torch.from_numpy(pix)).numpy()
+    return golden.save_fixture("siglip_tower", {
+        "state": {
+            "vision_tower." + k: v for k, v in
+            golden.state_to_numpy(ref.state_dict()).items()
+        },
+        "pix": pix, "want": want,
+    })
 
-    tensors = {
-        "vision_tower." + k: v.numpy() for k, v in ref.state_dict().items()
-    }
+
+def _verify_siglip_tower(payload):
+    import jax.numpy as jnp
+
+    from open_pi_zero_tpu.models import convert, siglip as siglip_lib
+
+    scfg = _siglip_config()
 
     class _C:
         siglip = scfg
 
-    params = convert.convert_siglip(tensors, _C)
+    params = convert.convert_siglip(payload["state"], _C)
     got = siglip_lib.forward(
-        params, scfg, jnp.asarray(pix.transpose(0, 2, 3, 1))  # ours is NHWC
+        params, scfg, jnp.asarray(payload["pix"].transpose(0, 2, 3, 1))  # ours is NHWC
     )
-    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(got), payload["want"], rtol=2e-4, atol=2e-5
+    )
 
 
-def test_lora_forward_parity():
-    """LoRA-enabled reference JointModel (unmerged, train-mode, dropout 0)
-    vs ours after converter adapter mapping — validates the lora_A/lora_B
-    key mapping and the scaled-delta math end-to-end."""
+def test_siglip_tower_parity():
+    """SigLIP ViT vs the reference torch tower through the production
+    converter (patch conv -> matmul equivalence, pre-LN blocks, tanh-GELU
+    MLP, post-layernorm; reference src/model/paligemma/siglip.py)."""
     _install_stubs()
-    import jax.numpy as jnp
+    _verify_siglip_tower(_record_siglip_tower())
+
+
+# --------------------------------------------------------------------------- #
+# scenario: LoRA forward (unmerged adapters through the converter)
+# --------------------------------------------------------------------------- #
+
+
+def _record_lora_forward():
     import torch
 
-    from omegaconf import OmegaConf  # noqa: F401 (stub present)
+    from open_pi_zero_tpu.config import ConfigDict
     from src.model.vla.joint_model import JointModel
-
-    from open_pi_zero_tpu.config import ConfigDict, JointConfig, LoraConfig, MixtureConfig
-    from open_pi_zero_tpu.models import convert, joint as joint_lib
-    from open_pi_zero_tpu.ops.masks import (
-        action_position_ids, build_block_causal_mask, proprio_position_ids,
-        vlm_position_ids,
-    )
 
     mix = {k: dict(v) for k, v in MIX.items()}
     mix["vlm"]["use_lora"] = True
@@ -419,69 +554,51 @@ def test_lora_forward_parity():
             if "lora_B" in name:
                 p.copy_(torch.randn_like(p) * 0.1)
 
-    mixtures = tuple(
-        MixtureConfig(
-            hidden_size=m["hidden_size"], intermediate_size=m["intermediate_size"],
-            use_final_norm=m["use_final_norm"], cache=m["cache"],
-            rope_theta=m["rope_theta"], use_lora=m.get("use_lora", False),
-            lora=LoraConfig(r=4, dropout=0.0),
-        )
-        for m in mix.values()
-    )
-    jcfg = JointConfig(
-        num_hidden_layers=GEOM["num_hidden_layers"],
-        num_attention_heads=GEOM["num_attention_heads"],
-        num_key_value_heads=GEOM["num_key_value_heads"],
-        head_dim=GEOM["head_dim"], time_hidden_size=GEOM["time_hidden_size"],
-        mixtures=mixtures, tie_proprio=False,
-    )
-    params = _convert_ref_state(ref.state_dict(), jcfg)
+    embeds, cnt = _block_inputs(3, LENS, MIX, b=1)
+    want = _ref_joint_forward(ref, embeds, cnt, LENS)
+    return golden.save_fixture("lora_forward", {
+        "state": golden.state_to_numpy(ref.state_dict()),
+        "embeds": embeds, "cnt": cnt, "want": want,
+    })
+
+
+def _verify_lora_forward(payload):
+    import jax.numpy as jnp
+
+    from open_pi_zero_tpu.models import joint as joint_lib
+
+    jcfg = _joint_config(GEOM, MIX, lora_vlm_r=4)
+    params = _convert_ref_state(payload["state"], jcfg)
     assert "q_lora" in params["mixtures"]["vlm"]["layers"]["attn"]
     assert "gate_lora" in params["mixtures"]["vlm"]["layers"]["mlp"]
-
-    rng = np.random.default_rng(3)
-    B = 1
-    embeds = {
-        n: rng.normal(size=(B, LENS[n], MIX[n]["hidden_size"])).astype(np.float32) * 0.1
-        for n in LENS
-    }
-    mask = build_block_causal_mask(
-        jnp.asarray([LENS["vlm"]]), LENS["vlm"], LENS["proprio"], LENS["action"]
-    )
-    pos = {
-        "vlm": jnp.broadcast_to(vlm_position_ids(LENS["vlm"]), (B, LENS["vlm"])),
-        "proprio": jnp.broadcast_to(proprio_position_ids(1), (B, 1)),
-        "action": jnp.broadcast_to(action_position_ids(1, LENS["action"]), (B, LENS["action"])),
-    }
-    with torch.no_grad():
-        want = ref(
-            attention_mask=torch.from_numpy(np.asarray(mask, np.float32)),
-            position_ids_all={n: torch.from_numpy(np.asarray(pos[n])).long() for n in pos},
-            embeds_all={n: torch.from_numpy(embeds[n].copy()) for n in LENS},
-            kv_caches={}, cache_mode="no_append",
-        )["action"].numpy()
+    mask, pos = _mask_and_pos(payload["cnt"], LENS)
     ours = joint_lib.joint_forward(
-        params, jcfg, {n: jnp.asarray(embeds[n]) for n in LENS}, pos, mask
+        params, jcfg,
+        {n: jnp.asarray(v) for n, v in payload["embeds"].items()}, pos, mask,
     )["action"]
-    np.testing.assert_allclose(np.asarray(ours), want, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(ours), payload["want"], rtol=2e-4, atol=2e-5
+    )
 
 
-def test_adaln_zero_forward_parity():
-    """adaLN-Zero mixtures (adaptive RMSNorm + zero-init residual gates,
-    reference vla/modules.py:78-119) vs ours through the converter's
-    adaptive-parameter mapping."""
+def test_lora_forward_parity():
+    """LoRA-enabled reference JointModel (unmerged, train-mode, dropout 0)
+    vs ours after converter adapter mapping — validates the lora_A/lora_B
+    key mapping and the scaled-delta math end-to-end."""
     _install_stubs()
-    import jax.numpy as jnp
+    _verify_lora_forward(_record_lora_forward())
+
+
+# --------------------------------------------------------------------------- #
+# scenario: adaLN-Zero forward
+# --------------------------------------------------------------------------- #
+
+
+def _record_adaln_zero_forward():
     import torch
 
+    from open_pi_zero_tpu.config import ConfigDict
     from src.model.vla.joint_model import JointModel
-
-    from open_pi_zero_tpu.config import ConfigDict, JointConfig, MixtureConfig
-    from open_pi_zero_tpu.models import joint as joint_lib
-    from open_pi_zero_tpu.ops.masks import (
-        action_position_ids, build_block_causal_mask, proprio_position_ids,
-        vlm_position_ids,
-    )
 
     mix = {k: dict(v) for k, v in MIX.items()}
     for n in ("proprio", "action"):
@@ -495,51 +612,41 @@ def test_adaln_zero_forward_parity():
             if "to_adaln_zero_gamma.weight" in name:
                 p.copy_(torch.randn_like(p) * 0.1)
 
-    mixtures = tuple(
-        MixtureConfig(
-            hidden_size=m["hidden_size"], intermediate_size=m["intermediate_size"],
-            use_final_norm=m["use_final_norm"], cache=m["cache"],
-            rope_theta=m["rope_theta"], adaptive_mode=m.get("adaptive_mode"),
-        )
-        for m in mix.values()
-    )
-    jcfg = JointConfig(
-        num_hidden_layers=GEOM["num_hidden_layers"],
-        num_attention_heads=GEOM["num_attention_heads"],
-        num_key_value_heads=GEOM["num_key_value_heads"],
-        head_dim=GEOM["head_dim"], time_hidden_size=GEOM["time_hidden_size"],
-        mixtures=mixtures, tie_proprio=False,
-    )
-    params = _convert_ref_state(ref.state_dict(), jcfg)
+    embeds, cnt = _block_inputs(4, LENS, MIX, b=2)
+    t_cond = np.random.default_rng(40).normal(
+        size=(2, GEOM["time_hidden_size"])
+    ).astype(np.float32)
+    want = _ref_joint_forward(ref, embeds, cnt, LENS, time_cond=t_cond)
+    return golden.save_fixture("adaln_zero_forward", {
+        "state": golden.state_to_numpy(ref.state_dict()),
+        "embeds": embeds, "cnt": cnt, "t_cond": t_cond, "want": want,
+    })
+
+
+def _verify_adaln_zero_forward(payload):
+    import jax.numpy as jnp
+
+    from open_pi_zero_tpu.models import joint as joint_lib
+
+    jcfg = _joint_config(GEOM, MIX, adaln=True)
+    params = _convert_ref_state(payload["state"], jcfg)
     act_layers = params["mixtures"]["action"]["layers"]
     assert "gamma_kernel" in act_layers["input_norm"]
     assert "post_scale" in act_layers and "final_scale" in act_layers
-
-    rng = np.random.default_rng(4)
-    B = 2
-    embeds = {
-        n: rng.normal(size=(B, LENS[n], MIX[n]["hidden_size"])).astype(np.float32) * 0.1
-        for n in LENS
-    }
-    t_cond = rng.normal(size=(B, GEOM["time_hidden_size"])).astype(np.float32)
-    mask = build_block_causal_mask(
-        jnp.asarray([LENS["vlm"]] * B), LENS["vlm"], LENS["proprio"], LENS["action"]
-    )
-    pos = {
-        "vlm": jnp.broadcast_to(vlm_position_ids(LENS["vlm"]), (B, LENS["vlm"])),
-        "proprio": jnp.broadcast_to(proprio_position_ids(1), (B, 1)),
-        "action": jnp.broadcast_to(action_position_ids(1, LENS["action"]), (B, LENS["action"])),
-    }
-    with torch.no_grad():
-        want = ref(
-            attention_mask=torch.from_numpy(np.asarray(mask, np.float32)),
-            position_ids_all={n: torch.from_numpy(np.asarray(pos[n])).long() for n in pos},
-            embeds_all={n: torch.from_numpy(embeds[n].copy()) for n in LENS},
-            time_cond=torch.from_numpy(t_cond),
-            kv_caches={}, cache_mode="no_append",
-        )["action"].numpy()
+    mask, pos = _mask_and_pos(payload["cnt"], LENS)
     ours = joint_lib.joint_forward(
-        params, jcfg, {n: jnp.asarray(embeds[n]) for n in LENS}, pos, mask,
-        time_cond=jnp.asarray(t_cond),
+        params, jcfg,
+        {n: jnp.asarray(v) for n, v in payload["embeds"].items()}, pos, mask,
+        time_cond=jnp.asarray(payload["t_cond"]),
     )["action"]
-    np.testing.assert_allclose(np.asarray(ours), want, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(ours), payload["want"], rtol=2e-4, atol=2e-5
+    )
+
+
+def test_adaln_zero_forward_parity():
+    """adaLN-Zero mixtures (adaptive RMSNorm + zero-init residual gates,
+    reference vla/modules.py:78-119) vs ours through the converter's
+    adaptive-parameter mapping."""
+    _install_stubs()
+    _verify_adaln_zero_forward(_record_adaln_zero_forward())

@@ -3,7 +3,13 @@ geometry): block-causal mask + position ids, flow-matching loss, and the
 complete KV-cached `infer_action` (prefill + Euler loop + clipping) — the
 production inference path — with injected noise so both sides integrate
 the identical flow. Validates encoders, embed merge, mask builder, trunk,
-decoder and converter together against the source of truth."""
+decoder and converter together against the source of truth.
+
+Like tests/test_reference_parity.py, each live test records its
+reference-side payload (inputs + reference state_dict + outputs) into
+tests/fixtures/ via tests/golden.py; tests/test_golden_fixtures.py
+replays the committed payloads in the quick tier with no torch or
+reference dependency."""
 
 import os
 import sys
@@ -12,7 +18,9 @@ import types
 import numpy as np
 import pytest
 
-REF = "/root/reference"
+from tests import golden
+
+REF = golden.REF
 pytestmark = [
     pytest.mark.slow,  # torch-parity tier: run with `pytest -m slow` / full suite
     pytest.mark.skipif(
@@ -182,6 +190,14 @@ def build_our_cfg(lm_head: bool = False):
     )
 
 
+def convert_state(state, cfg):
+    """Reference PiZero state (torch state_dict or flat numpy dict) -> our
+    params via the production converter."""
+    from open_pi_zero_tpu.models import convert
+
+    return convert.convert_vla_state_dict(dict(state), cfg)
+
+
 def build_models(seed: int = 0, lm_head: bool = False):
     """(torch reference PiZero, our config, converted params) at tiny
     geometry — shared by the parity tests and scripts/verify_checkpoint.py's
@@ -189,7 +205,6 @@ def build_models(seed: int = 0, lm_head: bool = False):
     _install_stubs()
     import torch
 
-    from open_pi_zero_tpu.models import convert
     from src.model.vla.pizero import PiZero
 
     torch.manual_seed(seed)
@@ -197,9 +212,7 @@ def build_models(seed: int = 0, lm_head: bool = False):
     ref.eval()
 
     our_cfg = build_our_cfg(lm_head)
-    params = convert.convert_vla_state_dict(
-        {k: v for k, v in ref.state_dict().items()}, our_cfg
-    )
+    params = convert_state(ref.state_dict(), our_cfg)
     return ref, our_cfg, params
 
 
@@ -224,44 +237,61 @@ def _inputs():
     return ids, am, pix, prop, act, t, x0
 
 
-def test_mask_and_position_parity(models):
+# --------------------------------------------------------------------------- #
+# scenario: block mask + position ids
+# --------------------------------------------------------------------------- #
+
+
+def _record_mask_and_positions(ref):
     import torch
 
-    from open_pi_zero_tpu.models import pizero as ours
-
-    ref, cfg, _ = models
     ids, am, *_ = _inputs()
     ref_mask, vp, pp, ap = ref.build_causal_mask_and_position_ids(
         torch.from_numpy(am), dtype=torch.float32
     )
-    full, prefix, action, pos = ours.prepare_action_inputs(
-        cfg, np.asarray(am, np.int32)
-    )
-    np.testing.assert_array_equal(
-        np.asarray(full) == 0.0, ref_mask.numpy() == 0.0
-    )
     ref_prefix, ref_action = ref.split_full_mask_into_submasks(ref_mask)
-    np.testing.assert_array_equal(
-        np.asarray(prefix) == 0.0, ref_prefix.numpy() == 0.0
-    )
-    np.testing.assert_array_equal(
-        np.asarray(action) == 0.0, ref_action.numpy() == 0.0
-    )
-    np.testing.assert_array_equal(np.asarray(pos["vlm"]), vp.numpy()[0])
-    np.testing.assert_array_equal(np.asarray(pos["proprio"]), pp.numpy()[0])
-    np.testing.assert_array_equal(np.asarray(pos["action"]), ap.numpy()[0])
+    return golden.save_fixture("pizero_mask_positions", {
+        "am": am,
+        "want_full_open": (ref_mask.numpy() == 0.0),
+        "want_prefix_open": (ref_prefix.numpy() == 0.0),
+        "want_action_open": (ref_action.numpy() == 0.0),
+        "vp": vp.numpy(), "pp": pp.numpy(), "ap": ap.numpy(),
+    })
 
 
-def test_flow_matching_loss_parity(models, monkeypatch):
-    import jax
-    import jax.numpy as jnp
-    import torch
-
+def _verify_mask_and_positions(payload):
     from open_pi_zero_tpu.models import pizero as ours
 
-    ref, cfg, params = models
-    ids, am, pix, prop, act, t, x0 = _inputs()
+    cfg = build_our_cfg()
+    full, prefix, action, pos = ours.prepare_action_inputs(
+        cfg, np.asarray(payload["am"], np.int32)
+    )
+    np.testing.assert_array_equal(np.asarray(full) == 0.0, payload["want_full_open"])
+    np.testing.assert_array_equal(
+        np.asarray(prefix) == 0.0, payload["want_prefix_open"]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(action) == 0.0, payload["want_action_open"]
+    )
+    np.testing.assert_array_equal(np.asarray(pos["vlm"]), payload["vp"][0])
+    np.testing.assert_array_equal(np.asarray(pos["proprio"]), payload["pp"][0])
+    np.testing.assert_array_equal(np.asarray(pos["action"]), payload["ap"][0])
 
+
+def test_mask_and_position_parity(models):
+    ref, _, _ = models
+    _verify_mask_and_positions(_record_mask_and_positions(ref))
+
+
+# --------------------------------------------------------------------------- #
+# scenario: flow-matching loss
+# --------------------------------------------------------------------------- #
+
+
+def _record_flow_matching_loss(ref, monkeypatch):
+    import torch
+
+    ids, am, pix, prop, act, t, x0 = _inputs()
     monkeypatch.setattr(
         torch, "randn_like", lambda x, **kw: torch.from_numpy(x0.copy())
     )
@@ -282,31 +312,50 @@ def test_flow_matching_loss_parity(models, monkeypatch):
                 t=torch.from_numpy(t),
             )
         )
-
-    got = float(
-        ours.flow_matching_loss(
-            params, cfg, jax.random.key(0),
-            jnp.asarray(ids, jnp.int32),
-            jnp.asarray(pix.transpose(0, 2, 3, 1)),  # NHWC
-            jnp.asarray(am, jnp.int32),
-            jnp.asarray(prop), jnp.asarray(act), jnp.asarray(t),
-            x0=jnp.asarray(x0),
-        )
-    )
-    np.testing.assert_allclose(got, want, rtol=2e-4)
+    return golden.save_fixture("pizero_flow_loss", {
+        "state": golden.state_to_numpy(ref.state_dict()),
+        "ids": ids, "am": am, "pix": pix, "prop": prop, "act": act,
+        "t": t, "x0": x0, "want": np.float32(want),
+    })
 
 
-def test_infer_action_parity(models, monkeypatch):
+def _verify_flow_matching_loss(payload):
     import jax
     import jax.numpy as jnp
-    import torch
 
     from open_pi_zero_tpu.models import pizero as ours
 
-    ref, cfg, params = models
+    cfg = build_our_cfg()
+    params = convert_state(payload["state"], cfg)
+    got = float(
+        ours.flow_matching_loss(
+            params, cfg, jax.random.key(0),
+            jnp.asarray(payload["ids"], jnp.int32),
+            jnp.asarray(payload["pix"].transpose(0, 2, 3, 1)),  # NHWC
+            jnp.asarray(payload["am"], jnp.int32),
+            jnp.asarray(payload["prop"]), jnp.asarray(payload["act"]),
+            jnp.asarray(payload["t"]),
+            x0=jnp.asarray(payload["x0"]),
+        )
+    )
+    np.testing.assert_allclose(got, float(payload["want"]), rtol=2e-4)
+
+
+def test_flow_matching_loss_parity(models, monkeypatch):
+    ref, _, _ = models
+    _verify_flow_matching_loss(_record_flow_matching_loss(ref, monkeypatch))
+
+
+# --------------------------------------------------------------------------- #
+# scenario: KV-cached infer_action (prefill + Euler loop + clip)
+# --------------------------------------------------------------------------- #
+
+
+def _record_infer_action(ref, monkeypatch):
+    import torch
+
     ids, am, pix, prop, act, t, x0 = _inputs()
     a0 = np.random.default_rng(5).normal(size=(B, 4, 3)).astype(np.float32)
-
     monkeypatch.setattr(
         torch, "randn", lambda *shape, **kw: torch.from_numpy(a0.copy())
     )
@@ -325,31 +374,44 @@ def test_infer_action_parity(models, monkeypatch):
             action_position_ids=ap,
             proprios=torch.from_numpy(prop),
         ).numpy()
-
-    got = ours.infer_action(
-        params, cfg, jax.random.key(0),
-        jnp.asarray(ids, jnp.int32),
-        jnp.asarray(pix.transpose(0, 2, 3, 1)),
-        jnp.asarray(am, jnp.int32),
-        jnp.asarray(prop),
-        action0=jnp.asarray(a0),
-    )
-    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+    return golden.save_fixture("pizero_infer_action", {
+        "state": golden.state_to_numpy(ref.state_dict()),
+        "ids": ids, "am": am, "pix": pix, "prop": prop, "a0": a0, "want": want,
+    })
 
 
-def test_infer_text_logits_parity():
-    """PaliGemma text path ('append' cache mode + tied lm_head + vlm final
-    norm) vs the reference infer_text prefill (pizero.py:559-593): full
-    logits must match, and our greedy first token must equal the
-    reference's argmax continuation."""
+def _verify_infer_action(payload):
     import jax
     import jax.numpy as jnp
-    import torch
 
     from open_pi_zero_tpu.models import pizero as ours
 
-    ref, cfg, params = build_models(seed=3, lm_head=True)
+    cfg = build_our_cfg()
+    params = convert_state(payload["state"], cfg)
+    got = ours.infer_action(
+        params, cfg, jax.random.key(0),
+        jnp.asarray(payload["ids"], jnp.int32),
+        jnp.asarray(payload["pix"].transpose(0, 2, 3, 1)),
+        jnp.asarray(payload["am"], jnp.int32),
+        jnp.asarray(payload["prop"]),
+        action0=jnp.asarray(payload["a0"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), payload["want"], rtol=2e-4, atol=2e-5
+    )
 
+
+def test_infer_action_parity(models, monkeypatch):
+    ref, _, _ = models
+    _verify_infer_action(_record_infer_action(ref, monkeypatch))
+
+
+# --------------------------------------------------------------------------- #
+# scenario: PaliGemma text path ("append" cache + tied lm_head + final norm)
+# --------------------------------------------------------------------------- #
+
+
+def _text_inputs():
     rng = np.random.default_rng(9)
     n_img = VIS["num_image_tokens"]
     s = n_img + 3
@@ -357,7 +419,14 @@ def test_infer_text_logits_parity():
     ids[:, :n_img] = GEOM["image_token_index"]
     ids[:, n_img] = 2
     pix = rng.normal(size=(1, 3, 28, 28)).astype(np.float32)
-    am = np.ones((1, s), np.int64)
+    return ids, pix
+
+
+def _record_text_logits(ref):
+    import torch
+
+    ids, pix = _text_inputs()
+    s = ids.shape[1]
 
     # reference quirk: build_causal_mask_and_position_ids_for_text reads a
     # module-global `bsz` that only exists when pizero.py runs as __main__
@@ -370,20 +439,41 @@ def test_infer_text_logits_parity():
         want = ref.infer_text(
             input_ids=torch.from_numpy(ids),
             pixel_values=torch.from_numpy(pix),
-            attention_mask=torch.from_numpy(am),
+            attention_mask=torch.from_numpy(np.ones((1, s), np.int64)),
             kv_cache=ref.build_text_cache(),
         )["logits"].numpy()
+    return golden.save_fixture("pizero_text_logits", {
+        "state": golden.state_to_numpy(ref.state_dict()),
+        "ids": ids, "pix": pix, "want": want,
+    })
 
+
+def _verify_text_logits(payload):
+    import jax.numpy as jnp
+
+    from open_pi_zero_tpu.models import pizero as ours
+
+    cfg = build_our_cfg(lm_head=True)
+    params = convert_state(payload["state"], cfg)
     got = np.asarray(
         ours.infer_text_logits(
-            params, cfg, jnp.asarray(ids, jnp.int32),
-            jnp.asarray(pix.transpose(0, 2, 3, 1)),
+            params, cfg, jnp.asarray(payload["ids"], jnp.int32),
+            jnp.asarray(payload["pix"].transpose(0, 2, 3, 1)),
         )
     )
-    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(got, payload["want"], rtol=2e-3, atol=2e-3)
 
     toks = ours.generate_text(
-        params, cfg, jnp.asarray(ids, jnp.int32),
-        jnp.asarray(pix.transpose(0, 2, 3, 1)), max_new_tokens=3,
+        params, cfg, jnp.asarray(payload["ids"], jnp.int32),
+        jnp.asarray(payload["pix"].transpose(0, 2, 3, 1)), max_new_tokens=3,
     )
-    assert int(toks[0, 0]) == int(want[0, -1].argmax())
+    assert int(toks[0, 0]) == int(payload["want"][0, -1].argmax())
+
+
+def test_infer_text_logits_parity():
+    """PaliGemma text path ('append' cache mode + tied lm_head + vlm final
+    norm) vs the reference infer_text prefill (pizero.py:559-593): full
+    logits must match, and our greedy first token must equal the
+    reference's argmax continuation."""
+    ref, _, _ = build_models(seed=3, lm_head=True)
+    _verify_text_logits(_record_text_logits(ref))
