@@ -55,13 +55,14 @@ DEFAULT_BATCH_SIZES = (1, 4, 8, 16)
 
 
 class _Request:
-    __slots__ = ("inputs", "event", "result", "error")
+    __slots__ = ("inputs", "event", "result", "error", "t_enqueue")
 
     def __init__(self, inputs: dict):
         self.inputs = inputs
         self.event = threading.Event()
         self.result: Optional[np.ndarray] = None
         self.error: Optional[str] = None
+        self.t_enqueue = 0.0  # stamped by submit(); read by the worker
 
 
 class BatchingPolicy:
@@ -98,6 +99,32 @@ class BatchingPolicy:
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self.n_batches = 0
         self.n_requests = 0
+        # per-stage breakdown (appended only by the single worker thread;
+        # ~4 monotonic() calls per BATCH — negligible next to the model):
+        # queue_wait = enqueue -> batch dispatch (includes the batching
+        # window), stack = host numpy batching, infer = model call
+        # (device + host callback), fanout = result scatter + wakeups
+        self.stage_ms = {"queue_wait": [], "stack": [], "infer": [], "fanout": []}
+
+    def stats_snapshot(self) -> dict:
+        """Median/percentile summary of the per-stage timings since start
+        (or the last reset_stats) — the through-socket latency breakdown."""
+        out = {"n_batches": self.n_batches, "n_requests": self.n_requests}
+        for k, v in self.stage_ms.items():
+            if v:
+                arr = np.asarray(v)
+                out[k] = {
+                    "p50_ms": round(float(np.percentile(arr, 50)), 3),
+                    "p99_ms": round(float(np.percentile(arr, 99)), 3),
+                    "mean_ms": round(float(arr.mean()), 3),
+                }
+        return out
+
+    def reset_stats(self):
+        self.n_batches = 0
+        self.n_requests = 0
+        for v in self.stage_ms.values():
+            v.clear()
 
     # ------------------------------------------------------------------ #
     def start(self):
@@ -121,6 +148,7 @@ class BatchingPolicy:
     def submit(self, inputs: dict, timeout: float = 30.0) -> np.ndarray:
         """Blocking: enqueue one observation, wait for its action chunk."""
         req = _Request(inputs)
+        req.t_enqueue = time.monotonic()
         self._q.put(req, timeout=timeout)
         if not req.event.wait(timeout):
             raise TimeoutError("inference timed out")
@@ -182,6 +210,10 @@ class BatchingPolicy:
 
     def _run_group(self, fn, reqs):
         try:
+            t0 = time.monotonic()
+            self.stage_ms["queue_wait"].extend(
+                (t0 - r.t_enqueue) * 1e3 for r in reqs if r.t_enqueue
+            )
             n = len(reqs)
             b = self._bucket(n)
             batch = {
@@ -191,10 +223,16 @@ class BatchingPolicy:
                 )
                 for k in reqs[0].inputs
             }
+            t1 = time.monotonic()
             chunks = np.asarray(fn(batch))
+            t2 = time.monotonic()
             for i, r in enumerate(reqs):
                 r.result = chunks[i]
                 r.event.set()
+            t3 = time.monotonic()
+            self.stage_ms["stack"].append((t1 - t0) * 1e3)
+            self.stage_ms["infer"].append((t2 - t1) * 1e3)
+            self.stage_ms["fanout"].append((t3 - t2) * 1e3)
             self.n_batches += 1
             self.n_requests += n
         except Exception as e:  # noqa: BLE001 — report to callers
@@ -274,17 +312,28 @@ def read_frame(f, first: bytes = b"") -> dict:
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self):
         policy: BatchingPolicy = self.server.policy  # type: ignore[attr-defined]
+        io_stats = getattr(self.server, "io_stats", None)
+        io_lock = getattr(self.server, "io_lock", None)
         while True:
             first = self.rfile.read(1)
             if not first:
                 return
             if first == _MAGIC[:1]:
                 try:
+                    t0 = time.monotonic()
                     msg = read_frame(self.rfile, first)
+                    t1 = time.monotonic()
                     chunk = policy.submit(_coerce_inputs(msg))
+                    t2 = time.monotonic()
                     resp = pack_frame(
                         {"action_chunk": np.asarray(chunk, np.float32)}
                     )
+                    if io_stats is not None:
+                        with io_lock:
+                            io_stats["decode_ms"].append((t1 - t0) * 1e3)
+                            io_stats["encode_ms"].append(
+                                (time.monotonic() - t2) * 1e3
+                            )
                 except EOFError:
                     return
                 except Exception as e:  # noqa: BLE001 — protocol error reply
@@ -320,6 +369,29 @@ class ActionServer(socketserver.ThreadingTCPServer):
     def __init__(self, addr, policy: BatchingPolicy):
         super().__init__(addr, _Handler)
         self.policy = policy
+        # per-request codec timings from all handler threads (the frame
+        # decode happens on the handler thread, so its cost is visible
+        # only here, not in the policy's stage breakdown)
+        self.io_stats = {"decode_ms": [], "encode_ms": []}
+        self.io_lock = threading.Lock()
+
+    def io_snapshot(self) -> dict:
+        with self.io_lock:
+            out = {}
+            for k, v in self.io_stats.items():
+                if v:
+                    arr = np.asarray(v)
+                    out[k] = {
+                        "p50_ms": round(float(np.percentile(arr, 50)), 3),
+                        "p99_ms": round(float(np.percentile(arr, 99)), 3),
+                        "mean_ms": round(float(arr.mean()), 3),
+                    }
+            return out
+
+    def reset_io_stats(self):
+        with self.io_lock:
+            for v in self.io_stats.values():
+                v.clear()
 
 
 def serve_forever(host: str, port: int, policy: BatchingPolicy):
@@ -359,20 +431,31 @@ def request_action(
     return np.asarray(resp["action_chunk"], np.float32)
 
 
-def open_action_connection(host: str, port: int, timeout: float = 60.0):
-    """Persistent binary connection: returns (send(inputs) -> chunk, close).
+def open_action_connection(host: str, port: int, timeout: float = 60.0,
+                           binary: bool = True):
+    """Persistent connection: returns (send(inputs) -> chunk, close).
     Reuses one socket for a robot's whole episode — connection setup is
     off the per-step critical path (the eval loop calls act() every
-    act_steps env steps, reference eval.py:97-131)."""
+    act_steps env steps, reference eval.py:97-131). binary=False keeps the
+    connection but ships JSON lines — the codec-isolation mode of
+    scripts/bench_serving_daemon.py."""
     s = socket.create_connection((host, port), timeout=timeout)
     f = s.makefile("rwb")
 
     def send(inputs: dict) -> np.ndarray:
-        f.write(pack_frame({k: np.asarray(v) for k, v in inputs.items()}))
+        if binary:
+            f.write(pack_frame({k: np.asarray(v) for k, v in inputs.items()}))
+            f.flush()
+            resp = read_frame(f)
+            if "error" in resp:
+                raise RuntimeError(resp["error"].tobytes().decode())
+            return np.asarray(resp["action_chunk"], np.float32)
+        msg = {k: np.asarray(v).tolist() for k, v in inputs.items()}
+        f.write((json.dumps(msg) + "\n").encode())
         f.flush()
-        resp = read_frame(f)
+        resp = json.loads(f.readline())
         if "error" in resp:
-            raise RuntimeError(resp["error"].tobytes().decode())
+            raise RuntimeError(resp["error"])
         return np.asarray(resp["action_chunk"], np.float32)
 
     def close():
