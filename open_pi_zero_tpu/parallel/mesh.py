@@ -75,6 +75,26 @@ def shard_batch(mesh: Mesh, batch, spec: P = P(DATA_AXIS)):
     return jax.tree.map(put, batch)
 
 
+def put_global(x, sharding: NamedSharding):
+    """device_put that also works on multi-process meshes, where plain
+    jax.device_put cannot target non-addressable devices. Each process must
+    hold the FULL host value (identical across processes — every caller
+    constructs it deterministically from seeds);
+    make_array_from_process_local_data slices out this process's shards
+    when global_shape == local shape."""
+    if jax.process_count() > 1:
+        if jax.dtypes.issubdtype(getattr(x, "dtype", None), jax.dtypes.prng_key):
+            # typed PRNG keys can't pass through numpy: ship the uint32
+            # key data and re-wrap (same impl) on the global mesh
+            kd = np.asarray(jax.random.key_data(x))
+            data = jax.make_array_from_process_local_data(sharding, kd, kd.shape)
+            return jax.random.wrap_key_data(data, impl=jax.random.key_impl(x))
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(sharding, x, x.shape)
+    return jax.device_put(x, sharding)
+
+
 def replicate(mesh: Mesh, tree):
+    """Fully replicate every leaf over the mesh (multi-process safe)."""
     s = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+    return jax.tree.map(lambda x: put_global(x, s), tree)

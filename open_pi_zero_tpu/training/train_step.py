@@ -160,9 +160,13 @@ def zero1_state_sharding(state: TrainState, mesh) -> TrainState:
 
 
 def shard_state_zero1(state: TrainState, mesh) -> TrainState:
-    """Place a TrainState with ZeRO-1 shardings."""
+    """Place a TrainState with ZeRO-1 shardings (multi-process safe: each
+    process holds the full deterministic host state and contributes its
+    shards via parallel.mesh.put_global)."""
+    from open_pi_zero_tpu.parallel.mesh import put_global
+
     shardings = zero1_state_sharding(state, mesh)
-    return jax.tree.map(jax.device_put, state, shardings)
+    return jax.tree.map(put_global, state, shardings)
 
 
 def make_jitted_train_step(
