@@ -41,6 +41,27 @@ from open_pi_zero_tpu.utils.monitor import Timer, log_execution_time
 log = logging.getLogger(__name__)
 
 
+def _strip_lora(tree):
+    """Drop `<name>_lora` adapter subtrees — the abstract shape of a plain
+    float checkpoint (ops/lora.py stores adapters as sibling leaves)."""
+    if isinstance(tree, dict):
+        return {
+            k: _strip_lora(v) for k, v in tree.items() if not k.endswith("_lora")
+        }
+    return tree
+
+
+def _graft(dst, src):
+    """Deep-merge `src` values into `dst` where keys exist (adapter leaves
+    absent from `src` keep their fresh initialization)."""
+    if isinstance(src, dict) and isinstance(dst, dict):
+        out = dict(dst)
+        for k, v in src.items():
+            out[k] = _graft(dst[k], v)
+        return out
+    return src
+
+
 def _load_tokenizer(cfg: ConfigDict):
     path = cfg.get("pretrained_model_path")
     if path and os.path.exists(str(os.path.expanduser(path))):
@@ -217,6 +238,21 @@ class TrainAgent:
             pretrained = convert.convert_paligemma(tensors, self.model_cfg)
             params = convert.merge_pretrained(params, pretrained)
             log.info("loaded pretrained PaliGemma weights from %s", path)
+        base_ckpt = self.cfg.get("base_params_checkpoint")
+        if base_ckpt:
+            # warm-start base weights from a trained checkpoint's exported
+            # (EMA-blended) float params — the QLoRA fine-tune entry: the
+            # loaded kernels become the frozen NF4 bases below while the
+            # freshly-initialized LoRA adapters stay. The saved tree has no
+            # adapter leaves, so restore against the adapter-stripped
+            # abstract and graft the result back in. (Reference analogue:
+            # resume/pretrained load feeding the `quantize`+`lora` train
+            # tier, src/agent/train.py:94-128 + lora.py:83-100.)
+            loaded = ckpt_lib.restore_params(
+                os.path.expanduser(str(base_ckpt)), _strip_lora(params)
+            )
+            params = _graft(params, loaded)
+            log.info("warm-started base weights from %s", base_ckpt)
         # QLoRA: mixtures flagged use_quantize keep their (frozen) base in
         # blockwise NF4 — the reference's bnb Linear4bit training tier
         # (get_layer quantize branches, reference lora.py:83-100; enabled

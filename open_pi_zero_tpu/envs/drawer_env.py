@@ -250,11 +250,25 @@ class DrawerEnv:
 def drawer_expert(
     env: DrawerEnv, rng: np.random.Generator, noise: float = 0.003
 ) -> np.ndarray:
+    """Scripted demo policy. Two choices are EVAL-DISTRIBUTION-critical
+    (found by tracing a grasp-but-never-pull failure mode, round 4):
+
+    - keep SQUEEZING (+1) through the pull and the post-success hold: the
+      eval-side sticky machine (env_adapter.py:236-251) repeats the close
+      command for 15 steps, driving closedness to 1.0 — an expert that
+      holds (0.0) after the 0.75 attach threshold caps demo closedness at
+      0.75, so every attached eval state sits OUTSIDE the demo proprio
+      range and the policy freezes at the handle.
+    - pull at 0.55x MAX_STEP: success needs only SUCCESS_EXT/MAX_STEP ~= 2
+      full-speed steps, so attached frames were ~2 pulls vs 4 zero-action
+      hold frames with near-identical observations — the flow regression
+      averaged dx toward 0. A slower pull makes pull frames the majority
+      of the attached phase."""
     handle = env.handle_pos(env.target_idx)
     if env._success:
-        move, grip = np.zeros(2), 0.0  # done: hold position and grip
+        move, grip = np.zeros(2), 1.0  # done: hold position, keep squeezing
     elif env.attached == env.target_idx:
-        move, grip = np.array([MAX_STEP, 0.0]), 0.0  # pull straight out
+        move, grip = np.array([0.55 * MAX_STEP, 0.0]), 1.0  # pull, squeezing
     elif np.linalg.norm(handle - env.eef) > 0.55 * GRASP_RADIUS:
         move = handle - env.eef  # approach
         grip = -1.0 if env.closedness > 0.25 else 0.0  # reopen after a miss

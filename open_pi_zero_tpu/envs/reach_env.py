@@ -309,6 +309,26 @@ def register_simpler_lite_mix() -> str:
     return "simpler_lite_multi"
 
 
+def register_simpler_lite_tri_mix() -> str:
+    """Three-task CROSS-FAMILY mix: bridge reach + bridge pick-place (both
+    7-dim POS_EULER) + fractal drawer (8-dim POS_QUAT, raw RT-1 schema
+    through the stock rt1_transform). One policy over heterogeneous
+    proprio widths and both env-adapter families — the shape of the
+    reference's real OXE mixes (e.g. `rtx`, reference
+    oxe_dataset_mixes.py), where bridge and fractal coexist in one
+    training stream. Returns the mix name."""
+    from open_pi_zero_tpu.data import oxe
+
+    register_simpler_lite_mix()  # ensures simpler_lite_pp exists
+    if "simpler_lite_tri" not in oxe.MIXES:
+        oxe.MIXES["simpler_lite_tri"] = [
+            ("bridge_dataset", 1.0),
+            ("simpler_lite_pp", 1.0),
+            ("fractal20220817_data", 1.0),
+        ]
+    return "simpler_lite_tri"
+
+
 def warm_tokenizer(tokenizer) -> None:
     """Assign word ids for every instruction in the fixed INSTRUCTIONS order.
     FakeTokenizer hands out ids in first-seen order (processing.py:148-157);

@@ -224,6 +224,10 @@ def trainable_param_count(params: dict, train_vlm: bool = True) -> dict:
             node: Any = vlm_layers
             for p in path:
                 node = node[p]
+            if isinstance(node, dict):
+                # quantized base ({q4, absmax} / {q, scale}): the whole
+                # mixture is already labeled frozen — nothing to move
+                continue
             counts["vlm"] -= node[0].size
             counts["frozen"] += node[0].size
     return {k: v / 1e9 for k, v in counts.items()}

@@ -111,8 +111,12 @@ def main():
     # update 5-6k, so 8k updates is the budget that actually learns)
     ap.add_argument("--task", default="reach",
                     choices=["reach", "pick_place", "multi", "drawer",
-                             "multi_family"])
+                             "multi_family", "tri_family"])
     ap.add_argument("--n-demos", type=int, default=600)
+    ap.add_argument("--drawer-n-demos", type=int, default=None,
+                    help="demo count for the drawer dataset in mixed runs "
+                         "(default: --n-demos); drawer needs more demos per "
+                         "language target than the bridge tasks")
     ap.add_argument("--n-updates", type=int, default=8000)
     ap.add_argument("--n-eval-episodes", type=int, default=40)
     ap.add_argument("--global-batch", type=int, default=32)
@@ -154,14 +158,23 @@ def main():
     # "multi": one policy on BOTH tasks via the interleaved multi-dataset
     # path (sample_from_datasets + transition-count weight balancing +
     # per-dataset statistics — the reference's OXE-mix machinery)
-    multi = args.task in ("multi", "multi_family")
+    multi = args.task in ("multi", "multi_family", "tri_family")
     drawer = args.task == "drawer"  # fractal/EDR family: raw RT-1 schema,
     # rt1_transform standardization, EDR sticky-gripper adapter at eval
     multi_family = args.task == "multi_family"  # bridge reach (7-dim
     # POS_EULER proprio) + fractal drawer (8-dim POS_QUAT) in ONE policy
     # via the stock `oxe_simple` mix — exercises cross-family proprio
     # zero-padding (pad_actions_and_proprio) in a learned loop
-    if multi_family:
+    tri_family = args.task == "tri_family"  # the full three-task cross-
+    # family policy: reach + pick_place (bridge) + drawer (fractal)
+    if tri_family:
+        from open_pi_zero_tpu.envs import register_simpler_lite_tri_mix
+
+        mix = register_simpler_lite_tri_mix()
+        demo_sets = [("reach", "bridge_dataset"),
+                     ("pick_place", "simpler_lite_pp"),
+                     ("drawer", "fractal20220817_data")]
+    elif multi_family:
         mix = "oxe_simple"
         demo_sets = [("reach", "bridge_dataset"), ("drawer", "fractal20220817_data")]
     elif multi:
@@ -180,6 +193,8 @@ def main():
     # --drawer-start-coverage can never silently train on stale demos
     # (the per-dataset dir names inside must stay registry names)
     tag = f"_n{args.n_demos}"
+    if args.drawer_n_demos:
+        tag += f"_dn{args.drawer_n_demos}"
     if args.drawer_target:
         tag += f"_{args.drawer_target}"
     if args.drawer_start_coverage:
@@ -193,7 +208,8 @@ def main():
                 from open_pi_zero_tpu.envs import write_fractal_demo_dataset
 
                 expert_rate[task] = write_fractal_demo_dataset(
-                    ds_dir, args.n_demos, seed=0, dataset_name=name,
+                    ds_dir, args.drawer_n_demos or args.n_demos, seed=0,
+                    dataset_name=name,
                     target=args.drawer_target,
                     start_coverage=args.drawer_start_coverage,
                 )
@@ -208,7 +224,7 @@ def main():
     t_demos = time.time()
 
     # ---- 2. train through the production pipeline ----
-    fractal_proprio = drawer or multi_family  # POS_QUAT width
+    fractal_proprio = drawer or multi_family or tri_family  # POS_QUAT width
     geometry = model_geometry(args.hidden, args.layers,
                               proprio_dim=8 if fractal_proprio else 7)
     n_dev = jax.device_count()
@@ -246,11 +262,12 @@ def main():
 
             "shuffle_buffer_size": 20_000,
             "num_parallel_calls": 4,
-            "traj_transform_threads": 2,
-            "traj_read_threads": 2,
+            # allocate_threads needs >= 1 thread per dataset in the mix
+            "traj_transform_threads": max(2, len(demo_sets)),
+            "traj_read_threads": max(2, len(demo_sets)),
             "resize_size": [56, 56],
             # cross-family mix: pad bridge's 7-dim proprio to fractal's 8
-            "max_proprio_dim": 8 if multi_family else None,
+            "max_proprio_dim": 8 if (multi_family or tri_family) else None,
         }},
     })
     from open_pi_zero_tpu.agents.train import TrainAgent
@@ -293,7 +310,7 @@ def main():
         # pick_place, EDR sticky-gripper adapter for drawer); bridge tasks
         # under a cross-family policy pad their 7-dim proprio to 8
         adapter_name = "edr" if task == "drawer" else "bridge"
-        pad_to = 8 if (multi_family and task != "drawer") else None
+        pad_to = 8 if ((multi_family or tri_family) and task != "drawer") else None
         env_task = (f"drawer_{args.drawer_target}"
                     if task == "drawer" and args.drawer_target else None)
         trained[task] = run_eval(

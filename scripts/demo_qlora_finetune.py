@@ -1,0 +1,271 @@
+"""QLoRA learns, not just steps: closed-loop LoRA fine-tune on SimplerLite.
+
+Round-3 verdict task 2. The QLoRA tier (NF4-frozen bases + LoRA adapters,
+reference src/model/lora.py:83-100 + the train configs' `quantize` flag)
+has bitwise/step tests and a latency number but had never been shown to
+LEARN. This script:
+
+  1. loads a trained policy's exported float params (a reach run from
+     scripts/demo_closed_loop.py) as the base,
+  2. freezes the VLM trunk + SigLIP as NF4 bases with fresh LoRA adapters
+     (the action expert stays float and trained, like the reference's
+     LoRA tier),
+  3. fine-tunes on a HELD-OUT task (pick_place demos) through the
+     production QLoRA train step,
+  4. proves the frozen-base payloads are BITWISE unchanged after
+     training, and
+  5. scores the fine-tuned policy closed-loop on the new task (target:
+     >= 90%) and reports old-task success before/after (catastrophic
+     forgetting is reported, not asserted — the action expert is
+     retrained on the new task only).
+
+Run (CPU mesh):
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  PYTHONPATH=/root/repo python scripts/demo_qlora_finetune.py \
+      --base-workdir /tmp/opz_reach_base --workdir /tmp/opz_qlora \
+      --out E2E_QLORA.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import re
+import time
+
+import numpy as np
+
+
+def latest_ckpt(ckpt_dir: str) -> str:
+    best, step = None, -1
+    for d in os.listdir(ckpt_dir):
+        m = re.fullmatch(r"ckpt_(\d+)", d)
+        if m and int(m.group(1)) > step:
+            best, step = os.path.join(ckpt_dir, d), int(m.group(1))
+    assert best, f"no checkpoints under {ckpt_dir}"
+    return best
+
+
+def quantized_payloads(params: dict, path=()) -> dict:
+    """{dotted path: np.ndarray} of every NF4 payload leaf (q4/absmax)."""
+    import jax
+
+    out = {}
+    if isinstance(params, dict):
+        if "q4" in params and "absmax" in params:
+            out["/".join(path) + "/q4"] = np.asarray(jax.device_get(params["q4"]))
+            out["/".join(path) + "/absmax"] = np.asarray(
+                jax.device_get(params["absmax"])
+            )
+            return out
+        for k, v in params.items():
+            out.update(quantized_payloads(v, path + (k,)))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base-workdir", default="/tmp/opz_reach_base",
+                    help="demo_closed_loop.py workdir of the trained base "
+                         "policy (reach)")
+    ap.add_argument("--workdir", default="/tmp/opz_qlora")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--task", default="pick_place", choices=["pick_place", "reach"])
+    ap.add_argument("--n-demos", type=int, default=600)
+    ap.add_argument("--n-updates", type=int, default=18000)
+    ap.add_argument("--n-eval-episodes", type=int, default=40)
+    ap.add_argument("--global-batch", type=int, default=32)
+    ap.add_argument("--hidden", type=int, default=96)
+    ap.add_argument("--layers", type=int, default=3)
+    ap.add_argument("--lora-r", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--eval-seed", type=int, default=1000)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+    log = logging.getLogger("qlora")
+    import jax
+
+    from demo_closed_loop import model_geometry, run_eval
+    from open_pi_zero_tpu.config import ConfigDict
+    from open_pi_zero_tpu.envs import warm_tokenizer, write_demo_dataset
+    from open_pi_zero_tpu.processing import FakeTokenizer
+
+    os.makedirs(args.workdir, exist_ok=True)
+    t0 = time.time()
+    base_ckpt = latest_ckpt(os.path.join(args.base_workdir, "train", "checkpoint"))
+    log.info("base checkpoint: %s", base_ckpt)
+
+    # ---- 1. held-out-task demos ----
+    data_dir = os.path.join(args.workdir, f"rlds_n{args.n_demos}")
+    ds_dir = os.path.join(data_dir, "bridge_dataset")
+    if not os.path.exists(os.path.join(ds_dir, "features.json")):
+        expert_rate = write_demo_dataset(
+            ds_dir, args.n_demos, seed=0, task=args.task,
+            dataset_name="bridge_dataset",
+        )
+    else:
+        expert_rate = None
+
+    # ---- 2. QLoRA geometry: NF4-frozen VLM trunk + SigLIP with fresh
+    # adapters; action/proprio mixtures + encoders stay float + trained ----
+    geometry = model_geometry(args.hidden, args.layers, proprio_dim=7)
+    geometry["mixture"]["vlm"] = {
+        **geometry["mixture"]["vlm"], "use_quantize": True, "use_lora": True,
+    }
+    geometry["vision"] = {
+        **geometry["vision"], "use_quantize": True, "use_lora": True,
+    }
+    geometry["lora_r"] = args.lora_r
+
+    n_dev = jax.device_count()
+    per_dev = max(1, args.global_batch // n_dev)
+    train_cfg = ConfigDict({
+        "name": "qlora_finetune",
+        "seed": 0,
+        "log_dir": os.path.join(args.workdir, "train"),
+        "load_pretrained_weights": False,
+        "base_params_checkpoint": base_ckpt,
+        "lora": True,  # optimizer: vlm group = adapters only
+        "n_updates": args.n_updates,
+        "log_freq": 50,
+        "save_model_freq": 0,
+        "eval_freq": 0,
+        "global_batch_size": per_dev * n_dev,
+        "per_device_batch_size": per_dev,
+        "action_lr": args.lr,
+        "vlm_lr": args.lr,
+        "action_lr_scheduler": {"warmup_steps": min(100, args.n_updates // 5),
+                                "first_cycle_steps": args.n_updates, "min_lr": 1e-5},
+        "vlm_lr_scheduler": {"warmup_steps": min(100, args.n_updates // 5),
+                             "first_cycle_steps": args.n_updates, "min_lr": 1e-5},
+        # EMA off: averaging integer NF4 payloads is meaningless and the
+        # proof wants the exact trained tree
+        "use_ema": False,
+        "resume_checkpoint_path": "auto" if args.resume else None,
+        **geometry,
+        "data": {"train": {
+            "dataset_mix": "bridge",
+            "data_path": data_dir,
+            "split": "train",
+            "window_size": 1,
+            "action_horizon": 4,
+            "skip_unlabeled": True,
+            "load_proprio": True,
+            "augment": False,
+            "shuffle_buffer_size": 20_000,
+            "num_parallel_calls": 4,
+            "traj_transform_threads": 2,
+            "traj_read_threads": 2,
+            "resize_size": [56, 56],
+        }},
+    })
+    from open_pi_zero_tpu.agents.train import TrainAgent
+    from open_pi_zero_tpu.ops import lora as lora_lib
+
+    agent = TrainAgent(train_cfg)
+    warm_tokenizer(agent.processor.tokenizer)
+    assert lora_lib.has_quantized_bases(agent.state.params), "bases not NF4"
+    assert lora_lib.has_lora(agent.state.params), "no adapters attached"
+    frozen_before = quantized_payloads(jax.device_get(agent.state.params))
+    log.info("%d NF4 payload leaves snapshotted", len(frozen_before))
+    t_setup = time.time()
+
+    state = agent.run()
+    t_train = time.time()
+
+    # ---- 4. frozen bases bitwise unchanged ----
+    frozen_after = quantized_payloads(jax.device_get(state.params))
+    assert frozen_before.keys() == frozen_after.keys()
+    changed = [k for k in frozen_before
+               if not np.array_equal(frozen_before[k], frozen_after[k])]
+    assert not changed, f"frozen NF4 payloads changed: {changed[:5]}"
+    log.info("all %d NF4 payloads bitwise unchanged", len(frozen_after))
+
+    # ---- 5. closed-loop eval (QLoRA tree served directly: the forward
+    # consumes NF4 bases + unmerged adapters, the training-path layout) ----
+    stats = agent.dataset.dataset.dataset_statistics[0]
+    new_stats_path = os.path.join(args.workdir, "statistics.json")
+    with open(new_stats_path, "w") as f:
+        json.dump({"action": stats["action"], "proprio": stats["proprio"]}, f)
+    base_stats_path = os.path.join(args.base_workdir, "statistics.json")
+
+    params = jax.device_get(state.params)
+
+    def fresh_tok():
+        tok = FakeTokenizer(image_token_id=500)
+        warm_tokenizer(tok)
+        return tok
+
+    new_task = run_eval(geometry, params, new_stats_path, fresh_tok(),
+                        args.n_eval_episodes, args.eval_seed, task=args.task)
+    log.info("fine-tuned on NEW task [%s]: %s", args.task, new_task)
+    old_task = run_eval(geometry, params, base_stats_path, fresh_tok(),
+                        args.n_eval_episodes, args.eval_seed, task="reach")
+    log.info("fine-tuned on OLD task [reach]: %s", old_task)
+
+    # base policy on the new task = the floor the adapters climbed from.
+    # The base float tree has no adapters; evaluate it under the BASE
+    # (plain) geometry.
+    from open_pi_zero_tpu.config import pizero_config_from_dict
+    from open_pi_zero_tpu.models import pizero
+    from open_pi_zero_tpu.training import checkpoint as ckpt_lib
+
+    base_geo = model_geometry(args.hidden, args.layers, proprio_dim=7)
+    abstract = pizero.init_params(
+        jax.random.key(0), pizero_config_from_dict(ConfigDict(base_geo))
+    )
+    base_params = ckpt_lib.restore_params(base_ckpt, abstract)
+    base_on_new = run_eval(base_geo, base_params, new_stats_path, fresh_tok(),
+                           args.n_eval_episodes, args.eval_seed, task=args.task)
+    base_on_old = run_eval(base_geo, base_params, base_stats_path, fresh_tok(),
+                           args.n_eval_episodes, args.eval_seed, task="reach")
+    log.info("base policy on new task: %s | on old task: %s",
+             base_on_new, base_on_old)
+
+    from open_pi_zero_tpu.training import optimizer as opt_lib
+
+    counts = opt_lib.trainable_param_count(params, train_vlm=True)
+    result = {
+        "proof": "QLoRA learns closed-loop (round-3 verdict task 2)",
+        "base_checkpoint": base_ckpt,
+        "held_out_task": args.task,
+        "n_demos": args.n_demos,
+        "n_updates": args.n_updates,
+        "n_eval_episodes": args.n_eval_episodes,
+        "expert_success_rate": expert_rate,
+        "lora_r": args.lora_r,
+        "frozen_nf4_payloads_bitwise_unchanged": True,
+        "n_frozen_payload_leaves": len(frozen_after),
+        "new_task_success": {
+            "finetuned": new_task["success_rate"],
+            "base_policy_floor": base_on_new["success_rate"],
+        },
+        "old_task_success": {
+            "finetuned": old_task["success_rate"],
+            "base_policy": base_on_old["success_rate"],
+            "note": "reported, not asserted: the float action expert is "
+                    "retrained on the new task only (reference LoRA tier "
+                    "trains the full action expert, train.py:167-210)",
+        },
+        "param_groups_B": {k: round(v, 6) for k, v in counts.items()},
+        "timings_s": {"setup": round(t_setup - t0, 1),
+                      "train": round(t_train - t_setup, 1),
+                      "eval": round(time.time() - t_train, 1)},
+        "devices": n_dev,
+    }
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    main()

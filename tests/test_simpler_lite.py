@@ -307,3 +307,50 @@ def test_demo_closed_loop_script(tmp_path):
     assert 0.0 <= result["trained_success_rate"] <= 1.0
     assert result["n_eval_episodes"] == 2
     assert result["model"]["params"] > 0
+
+
+@pytest.mark.slow
+def test_demo_closed_loop_tri_family_script(tmp_path):
+    """The three-task CROSS-FAMILY path at miniature scale: reach +
+    pick_place (bridge, 7-dim proprio) + drawer (fractal, 8-dim POS_QUAT,
+    coverage starts) through ONE interleaved mix (simpler_lite_tri), with
+    per-dataset drawer demo count. Learning is NOT asserted (3 updates);
+    the three-dataset mix machinery, cross-family proprio padding, and the
+    per-task eval/adapters are."""
+    out = tmp_path / "tri.json"
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+        PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "scripts/demo_closed_loop.py",
+            "--task", "tri_family",
+            "--workdir", str(tmp_path / "wd"),
+            "--out", str(out),
+            "--n-demos", "12",
+            "--drawer-n-demos", "15",
+            "--drawer-start-coverage",
+            "--n-updates", "3",
+            "--n-eval-episodes", "2",
+            "--global-batch", "16",
+            "--hidden", "64",
+            "--layers", "2",
+        ],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    result = json.loads(out.read_text())
+    assert set(result["trained_success_rate"]) == {"reach", "pick_place", "drawer"}
+    assert result["expert_success_rate"]["drawer"] == 1.0
+    # drawer demo count honored + encoded in the cache dir name
+    assert os.path.isdir(
+        tmp_path / "wd" / "rlds_n12_dn15_cov" / "fractal20220817_data"
+    )
