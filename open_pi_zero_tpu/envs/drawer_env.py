@@ -248,10 +248,11 @@ class DrawerEnv:
 
 
 def drawer_expert(
-    env: DrawerEnv, rng: np.random.Generator, noise: float = 0.003
+    env: DrawerEnv, rng: np.random.Generator, noise: float = 0.003,
+    close_dist: float = 0.55 * GRASP_RADIUS,
 ) -> np.ndarray:
-    """Scripted demo policy. Two choices are EVAL-DISTRIBUTION-critical
-    (found by tracing a grasp-but-never-pull failure mode, round 4):
+    """Scripted demo policy. Three choices are EVAL-DISTRIBUTION-critical
+    (each found by tracing a distinct closed-loop failure mode, round 4):
 
     - keep SQUEEZING (+1) through the pull and the post-success hold: the
       eval-side sticky machine (env_adapter.py:236-251) repeats the close
@@ -263,17 +264,29 @@ def drawer_expert(
       full-speed steps, so attached frames were ~2 pulls vs 4 zero-action
       hold frames with near-identical observations — the flow regression
       averaged dx toward 0. A slower pull makes pull frames the majority
-      of the attached phase."""
+      of the attached phase.
+    - `close_dist` = the distance at which closing starts, and the expert
+      keeps APPROACHING while closing. Demo collection randomizes it per
+      episode (collect_fractal_demos): with a fixed tight threshold,
+      demo closedness is a deterministic function of task phase, but at
+      eval ONE early close command gets amplified by the sticky machine
+      into closedness 1.0 during the approach — states like
+      (closed 1.0, ext 0) that phase-locked demos never contain, which
+      diluted the pull signal into the stop/hold regime (observed: policy
+      attaches then oscillates at ext ~0.03, result.json 5%/40). Early
+      closing is harmless here exactly as at eval: a closed gripper
+      attaches the moment it reaches the handle."""
     handle = env.handle_pos(env.target_idx)
+    d = float(np.linalg.norm(handle - env.eef))
     if env._success:
         move, grip = np.zeros(2), 1.0  # done: hold position, keep squeezing
     elif env.attached == env.target_idx:
         move, grip = np.array([0.55 * MAX_STEP, 0.0]), 1.0  # pull, squeezing
-    elif np.linalg.norm(handle - env.eef) > 0.55 * GRASP_RADIUS:
-        move = handle - env.eef  # approach
-        grip = -1.0 if env.closedness > 0.25 else 0.0  # reopen after a miss
+    elif d <= close_dist:
+        move, grip = handle - env.eef, 1.0  # approach while closing
     else:
-        move, grip = np.zeros(2), 1.0  # hover on the handle and close
+        move = handle - env.eef  # approach, gripper open
+        grip = -1.0 if env.closedness > 0.25 else 0.0  # reopen after a miss
     delta = np.clip(move, -MAX_STEP, MAX_STEP) + rng.normal(0.0, noise, size=2)
     return np.concatenate([delta, [0.0, 0.0, 0.0, 0.0], [grip]]).astype(np.float32)
 
@@ -317,10 +330,24 @@ def collect_fractal_demos(
         rng = np.random.default_rng((seed, ep_id, 23))
         if start_coverage:
             obs = env.randomize_start(rng)
+        # gripper-timing domain randomization (see drawer_expert docstring):
+        # half the episodes close at the tight default; a quarter start
+        # closing at a random distance; a quarter approach FULLY CLOSED
+        # from the first step — the last mode is what the eval-side sticky
+        # machine produces (closedness saturates during the approach), and
+        # it supplies the (closed, far) and (closed 1.0, attached, ext 0)
+        # states phase-locked demos never contain
+        mode = ep_id % 4
+        if mode in (0, 2):
+            close_dist = 0.55 * GRASP_RADIUS
+        elif mode == 1:
+            close_dist = rng.uniform(0.6 * GRASP_RADIUS, 2.4 * GRASP_RADIUS)
+        else:
+            close_dist = np.inf  # close from step 0, approach fully closed
         images, bases, grips, wv, rot, gca = [], [], [], [], [], []
         success_at = None
         while True:
-            act = drawer_expert(env, rng)
+            act = drawer_expert(env, rng, close_dist=close_dist)
             images.append(tf.io.encode_jpeg(obs["image"]).numpy())
             base, gc = fractal_proprio_parts(obs)
             bases.append(base)
