@@ -282,6 +282,11 @@ def drawer_expert(
         move, grip = np.zeros(2), 1.0  # done: hold position, keep squeezing
     elif env.attached == env.target_idx:
         move, grip = np.array([0.55 * MAX_STEP, 0.0]), 1.0  # pull, squeezing
+    elif env.attached is not None:
+        # grabbed a NON-target handle en route (possible when approaching
+        # closed): release and re-approach — also the recovery behavior a
+        # closed-loop policy needs when the sticky machine closes early
+        move, grip = np.zeros(2), -1.0
     elif d <= close_dist:
         move, grip = handle - env.eef, 1.0  # approach while closing
     else:
@@ -361,6 +366,8 @@ def collect_fractal_demos(
             if truncated or (success_at is not None and env.t >= success_at + hold_steps):
                 break
         successes.append(bool(success))
+        if not success:
+            continue  # demos are demonstrations: drop the (rare) failures
         n = len(images)
         episodes.append(
             {
