@@ -216,3 +216,40 @@ def test_serve_random_init_through_socket(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+@pytest.mark.slow
+def test_qlora_finetune_script(tmp_path):
+    """The QLoRA-learns harness at miniature scale: train a tiny reach
+    base, then fine-tune it on pick_place through the production QLoRA
+    step (NF4-frozen trunk + fresh adapters). Learning is NOT asserted
+    (3 updates); the warm-start graft, the bitwise-frozen-payload check,
+    and the new/old-task eval chain are."""
+    env = dict(os.environ, PYTHONPATH=ROOT, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+
+    def run(args, timeout=900):
+        return subprocess.run([sys.executable, *args], cwd=ROOT, env=env,
+                              capture_output=True, text=True, timeout=timeout)
+
+    base = run(["scripts/demo_closed_loop.py", "--workdir",
+                str(tmp_path / "base"), "--n-demos", "12", "--n-updates", "3",
+                "--n-eval-episodes", "2", "--global-batch", "16",
+                "--hidden", "64", "--layers", "2", "--save-freq", "3"])
+    assert base.returncode == 0, base.stderr[-3000:]
+
+    out = tmp_path / "qlora.json"
+    ft = run(["scripts/demo_qlora_finetune.py",
+              "--base-workdir", str(tmp_path / "base"),
+              "--workdir", str(tmp_path / "ft"), "--n-demos", "12",
+              "--n-updates", "3", "--n-eval-episodes", "2",
+              "--global-batch", "16", "--hidden", "64", "--layers", "2",
+              "--out", str(out)])
+    assert ft.returncode == 0, ft.stderr[-3000:]
+    import json as _json
+
+    result = _json.loads(out.read_text())
+    assert result["frozen_nf4_payloads_bitwise_unchanged"] is True
+    assert result["n_frozen_payload_leaves"] > 0
+    assert "finetuned" in result["new_task_success"]
+    assert "base_policy" in result["old_task_success"]
