@@ -249,7 +249,7 @@ class DrawerEnv:
 
 def drawer_expert(
     env: DrawerEnv, rng: np.random.Generator, noise: float = 0.003,
-    close_dist: float = 0.55 * GRASP_RADIUS,
+    close_dist: float = 2.0 * GRASP_RADIUS,
 ) -> np.ndarray:
     """Scripted demo policy. Three choices are EVAL-DISTRIBUTION-critical
     (each found by tracing a distinct closed-loop failure mode, round 4):
@@ -265,17 +265,29 @@ def drawer_expert(
       hold frames with near-identical observations — the flow regression
       averaged dx toward 0. A slower pull makes pull frames the majority
       of the attached phase.
-    - `close_dist` = the distance at which closing starts, and the expert
-      keeps APPROACHING while closing. Demo collection randomizes it per
-      episode (collect_fractal_demos): with a fixed tight threshold,
-      demo closedness is a deterministic function of task phase, but at
-      eval ONE early close command gets amplified by the sticky machine
-      into closedness 1.0 during the approach — states like
-      (closed 1.0, ext 0) that phase-locked demos never contain, which
-      diluted the pull signal into the stop/hold regime (observed: policy
-      attaches then oscillates at ext ~0.03, result.json 5%/40). Early
-      closing is harmless here exactly as at eval: a closed gripper
-      attaches the moment it reaches the handle."""
+    - `close_dist` = the DETERMINISTIC distance at which closing starts;
+      within it the expert keeps approaching at reduced speed while
+      squeezing, so closedness reaches ~1.0 by arrival. Two failed
+      alternatives, both measured closed-loop:
+        * a tight threshold (0.55x grasp radius) makes demo closedness a
+          perfect phase clock; at eval ONE early close command is
+          amplified by the sticky machine into closedness 1.0 during the
+          approach — attached states pair closedness 1.0 with ext 0,
+          which phase-locked demos never contain, and the pull signal
+          dilutes into the stop/hold regime (5%/40);
+        * RANDOMIZING close_dist per episode covers those states but
+          makes the gripper label at a given distance irreducibly
+          bimodal (open in tight episodes, closed in early ones); the
+          regression collapses to the mean, which sits BELOW the sticky
+          machine's |relative| > 0.5 trigger — the eval gripper never
+          actuates at all (0/40 on every target, closedness 0.00 for
+          whole episodes).
+      The fix needs BOTH properties at once: gripper command a
+      consistent function of the visible state (no mode averaging) AND
+      closed-at-handle states in the demos — i.e. close early,
+      deterministically, and slow the approach so the squeeze completes
+      before arrival (the state trajectory the eval-side sticky machine
+      produces)."""
     handle = env.handle_pos(env.target_idx)
     d = float(np.linalg.norm(handle - env.eef))
     if env._success:
@@ -288,7 +300,9 @@ def drawer_expert(
         # closed-loop policy needs when the sticky machine closes early
         move, grip = np.zeros(2), -1.0
     elif d <= close_dist:
-        move, grip = handle - env.eef, 1.0  # approach while closing
+        # approach slowly while squeezing: closedness ~1.0 on arrival
+        move = np.clip(handle - env.eef, -0.4 * MAX_STEP, 0.4 * MAX_STEP)
+        grip = 1.0
     else:
         move = handle - env.eef  # approach, gripper open
         grip = -1.0 if env.closedness > 0.25 else 0.0  # reopen after a miss
@@ -335,20 +349,13 @@ def collect_fractal_demos(
         rng = np.random.default_rng((seed, ep_id, 23))
         if start_coverage:
             obs = env.randomize_start(rng)
-        # gripper-timing domain randomization (see drawer_expert docstring):
-        # half the episodes close at the tight default; a quarter start
-        # closing at a random distance; a quarter approach FULLY CLOSED
-        # from the first step — the last mode is what the eval-side sticky
-        # machine produces (closedness saturates during the approach), and
-        # it supplies the (closed, far) and (closed 1.0, attached, ext 0)
-        # states phase-locked demos never contain
-        mode = ep_id % 4
-        if mode in (0, 2):
-            close_dist = 0.55 * GRASP_RADIUS
-        elif mode == 1:
-            close_dist = rng.uniform(0.6 * GRASP_RADIUS, 2.4 * GRASP_RADIUS)
-        else:
-            close_dist = np.inf  # close from step 0, approach fully closed
+        # DETERMINISTIC early close (see drawer_expert docstring for the
+        # two measured failure modes this replaces): the gripper command
+        # is a consistent function of handle distance, and the slow
+        # squeeze-while-approaching inside 2x grasp radius puts
+        # closed-at/near-handle states in the demos — the trajectory
+        # shape the eval-side sticky machine produces
+        close_dist = 2.0 * GRASP_RADIUS
         images, bases, grips, wv, rot, gca = [], [], [], [], [], []
         success_at = None
         while True:
