@@ -230,12 +230,19 @@ class DrawerEnv:
                 self._rect(hx - HANDLE_HALF, hx + HANDLE_HALF,
                            hy - HANDLE_HALF, hy + HANDLE_HALF)
             ] = HANDLE_COLOR
-        # eef disc shrinks as the gripper closes (visible gripper state)
+        # eef disc shrinks as the gripper closes (visible gripper state);
+        # GRASP state is rendered as a color change — in the real Simpler
+        # renderer attachment is visually unambiguous (the fingers wrap the
+        # handle); a minimal disc that hides it forces the policy to
+        # discriminate a ~2 px at-handle-vs-near-handle gap at 56x56, and
+        # five traced training runs showed the regression collapsing to a
+        # servo field with velocity ~0 exactly at the handle (the pull
+        # never forms; docs/DRAWER_INVESTIGATION.md)
         r = (0.024 - 0.010 * self.closedness)
         eef_mask = (self._px_x - self.eef[0]) ** 2 + (
             self._px_y - self.eef[1]
         ) ** 2 <= r**2
-        img[eef_mask] = (30, 60, 200)
+        img[eef_mask] = (30, 200, 60) if self.attached is not None else (30, 60, 200)
         return img
 
 
