@@ -292,6 +292,28 @@ def run_child(pid: int, port: int, workdir: str):
     assert jax.local_device_count() == LOCAL_DEVICES, jax.local_device_count()
     assert jax.device_count() == N_PROC * LOCAL_DEVICES, jax.device_count()
 
+    # Warm the Gloo contexts on a trivial program FIRST: the transport's
+    # key-exchange has a hardcoded ~30 s timeout, and entering it from the
+    # big compiled train step lets compile-time skew between ranks (or a
+    # contended host) blow it. A tiny all-reduce puts both ranks at the
+    # same program point with a near-zero compile, so the contexts form
+    # while skew is minimal.
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from open_pi_zero_tpu.parallel import make_mesh
+
+    mesh = make_mesh(n_data=jax.device_count())
+    x = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("data")),
+        np.arange(LOCAL_DEVICES, dtype=np.float32),
+    )
+    total = float(jax.jit(lambda v: jnp.sum(v))(x))
+    expected = sum(range(LOCAL_DEVICES)) * N_PROC
+    assert total == expected, (total, expected)
+    print(f"[rank {pid}] gloo warmup ok (sum {total})")
+
     rows = slice(pid * LOCAL_DEVICES, (pid + 1) * LOCAL_DEVICES)
     loss = _raw_dp_step(local_rows=rows)
     print(f"[rank {pid}] step loss {loss:.6f}")
