@@ -30,11 +30,15 @@ import time
 import numpy as np
 
 
-def model_geometry(hidden: int, layers: int, proprio_dim: int = 7) -> dict:
+def model_geometry(hidden: int, layers: int, proprio_dim: int = 7,
+                   heads: int = 4, kv_heads: int = 1,
+                   head_dim: int = 0) -> dict:
     """Config-dict geometry block shared by train and eval (image 56x56,
     patch 14 -> 16 image tokens; text budget 8 -> seq 24). proprio_dim is
     7 for the bridge-family tasks (POS_EULER) and 8 for the fractal family
-    (POS_QUAT, reference oxe/__init__.py:40-62)."""
+    (POS_QUAT, reference oxe/__init__.py:40-62). heads/kv_heads/head_dim
+    expose the trunk GQA ratio for scale-up runs (the bridge recipe is
+    8Q/1KV, reference config/train/bridge.yaml:174-177)."""
     h2 = hidden // 2
     return {
         "vocab_size": 10_000,
@@ -63,8 +67,9 @@ def model_geometry(hidden: int, layers: int, proprio_dim: int = 7) -> dict:
         }},
         "vision_projector": {"config": {"vision_config": {"projection_dim": hidden}}},
         "joint": {"config": {
-            "num_hidden_layers": layers, "num_attention_heads": 4,
-            "num_key_value_heads": 1, "head_dim": max(16, hidden // 4),
+            "num_hidden_layers": layers, "num_attention_heads": heads,
+            "num_key_value_heads": kv_heads,
+            "head_dim": head_dim or max(16, hidden // 4),
         }},
     }
 
@@ -121,6 +126,10 @@ def main():
     ap.add_argument("--n-eval-episodes", type=int, default=40)
     ap.add_argument("--global-batch", type=int, default=32)
     ap.add_argument("--hidden", type=int, default=96)
+    ap.add_argument("--heads", type=int, default=4)
+    ap.add_argument("--kv-heads", type=int, default=1)
+    ap.add_argument("--head-dim", type=int, default=0,
+                    help="0 = max(16, hidden//4)")
     ap.add_argument("--layers", type=int, default=3)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--eval-seed", type=int, default=1000,
@@ -226,7 +235,9 @@ def main():
     # ---- 2. train through the production pipeline ----
     fractal_proprio = drawer or multi_family or tri_family  # POS_QUAT width
     geometry = model_geometry(args.hidden, args.layers,
-                              proprio_dim=8 if fractal_proprio else 7)
+                              proprio_dim=8 if fractal_proprio else 7,
+                              heads=args.heads, kv_heads=args.kv_heads,
+                              head_dim=args.head_dim)
     n_dev = jax.device_count()
     per_dev = max(1, args.global_batch // n_dev)
     train_cfg = ConfigDict({
