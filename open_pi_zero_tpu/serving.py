@@ -14,6 +14,17 @@ concurrent requests:
   - one jitted `infer_action` serves the whole bucket; each caller gets
     its row.
 
+In-flight batching (round-4 verdict task 7): the worker DISPATCHES each
+batch asynchronously (jit returns a lazy device array) and hands it to a
+completion thread that materializes the result and wakes the callers.
+While batch N executes on the device, the worker is already draining,
+stacking, and enqueueing batch N+1 — requests no longer wait a full
+batch time in the host queue just because the loop was blocked inside
+np.asarray (the round-4 breakdown measured queue_wait p50 73.6 ms ≈ one
+batch time = exactly this double-buffering gap). `max_inflight` bounds
+the device queue depth (backpressure: the worker blocks rather than
+piling unbounded work onto the chip).
+
 Transport: one TCP port, two codecs, auto-detected per message by the
 first byte —
 
@@ -68,10 +79,14 @@ class _Request:
 class BatchingPolicy:
     """Owns the model function and the batching loop.
 
-    `infer_fn(batch: dict) -> np.ndarray [B, A, act_dim]` must accept a
+    `infer_fn(batch: dict) -> array [B, A, act_dim]` must accept a
     dict of stacked numpy arrays {input_ids, pixel_values,
     attention_mask, proprios} and is assumed jit-backed (called with each
-    padded bucket size exactly once to warm the cache).
+    padded bucket size exactly once to warm the cache). For in-flight
+    batching to pay off it should return the jit output UNMATERIALIZED
+    (the lazy jax.Array) — the completion thread calls np.asarray on it;
+    an infer_fn that returns numpy still works, it just serializes
+    dispatch and completion.
 
     `refine_fn` (optional) enables the refined steady-state tier: requests
     carrying a `prev_chunk` array are routed to it (batch additionally
@@ -88,6 +103,7 @@ class BatchingPolicy:
         batch_window_ms: float = 3.0,
         queue_size: int = 256,
         refine_fn: Optional[Callable[[dict], np.ndarray]] = None,
+        max_inflight: int = 2,
     ):
         self.infer_fn = infer_fn
         self.refine_fn = refine_fn
@@ -97,13 +113,21 @@ class BatchingPolicy:
         self._q: "queue.Queue[_Request]" = queue.Queue(maxsize=queue_size)
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._loop, daemon=True)
+        # dispatched-but-unmaterialized batches; put() blocks once
+        # max_inflight are queued on the device (backpressure)
+        self._pending: "queue.Queue[tuple]" = queue.Queue(
+            maxsize=max(1, max_inflight)
+        )
+        self._completer = threading.Thread(target=self._complete_loop,
+                                           daemon=True)
         self.n_batches = 0
         self.n_requests = 0
-        # per-stage breakdown (appended only by the single worker thread;
-        # ~4 monotonic() calls per BATCH — negligible next to the model):
+        # per-stage breakdown (queue_wait/stack appended by the worker,
+        # infer/fanout by the completer; list.append is GIL-atomic):
         # queue_wait = enqueue -> batch dispatch (includes the batching
-        # window), stack = host numpy batching, infer = model call
-        # (device + host callback), fanout = result scatter + wakeups
+        # window), stack = host numpy batching + async dispatch, infer =
+        # dispatch -> result materialized (device time INCLUDING overlap
+        # behind earlier in-flight batches), fanout = scatter + wakeups
         self.stage_ms = {"queue_wait": [], "stack": [], "infer": [], "fanout": []}
 
     def stats_snapshot(self) -> dict:
@@ -129,12 +153,15 @@ class BatchingPolicy:
     # ------------------------------------------------------------------ #
     def start(self):
         self._worker.start()
+        self._completer.start()
         return self
 
     def stop(self):
         self._stop.set()
         if self._worker.ident is not None:  # join() raises on unstarted threads
             self._worker.join(timeout=5)
+        if self._completer.ident is not None:
+            self._completer.join(timeout=5)
         # fail still-enqueued requests fast instead of leaving their
         # submitters blocked for the full submit() timeout
         while True:
@@ -144,6 +171,14 @@ class BatchingPolicy:
                 break
             req.error = "server shutting down"
             req.event.set()
+        while True:
+            try:
+                reqs, _, _ = self._pending.get_nowait()
+            except queue.Empty:
+                break
+            for req in reqs:
+                req.error = "server shutting down"
+                req.event.set()
 
     def submit(self, inputs: dict, timeout: float = 30.0) -> np.ndarray:
         """Blocking: enqueue one observation, wait for its action chunk."""
@@ -163,11 +198,11 @@ class BatchingPolicy:
         (using the fresh result as the previous chunk)."""
         for b in self.batch_sizes:
             batch = {k: np.repeat(v[None], b, axis=0) for k, v in example.items()}
-            chunk = self.infer_fn(batch)
+            chunk = np.asarray(self.infer_fn(batch))  # materialize: full warm
             log.info("warmed batch size %d", b)
             if self.refine_fn is not None:
                 batch["prev_chunk"] = np.asarray(chunk, np.float32)
-                self.refine_fn(batch)
+                np.asarray(self.refine_fn(batch))
                 log.info("warmed refined batch size %d", b)
 
     # ------------------------------------------------------------------ #
@@ -199,16 +234,19 @@ class BatchingPolicy:
         if self.refine_fn is None:
             for r in reqs:
                 r.inputs.pop("prev_chunk", None)  # tier disabled: full flow
-            self._run_group(self.infer_fn, reqs)
+            self._dispatch(self.infer_fn, reqs)
             return
         fresh = [r for r in reqs if "prev_chunk" not in r.inputs]
         refined = [r for r in reqs if "prev_chunk" in r.inputs]
         if fresh:
-            self._run_group(self.infer_fn, fresh)
+            self._dispatch(self.infer_fn, fresh)
         if refined:
-            self._run_group(self.refine_fn, refined)
+            self._dispatch(self.refine_fn, refined)
 
-    def _run_group(self, fn, reqs):
+    def _dispatch(self, fn, reqs):
+        """Stack + async-dispatch one group; the completer materializes.
+        Runs on the worker thread — by the time the device finishes this
+        batch, the worker is already assembling the next one."""
         try:
             t0 = time.monotonic()
             self.stage_ms["queue_wait"].extend(
@@ -223,23 +261,51 @@ class BatchingPolicy:
                 )
                 for k in reqs[0].inputs
             }
+            lazy = fn(batch)  # jit-backed: returns without waiting
             t1 = time.monotonic()
-            chunks = np.asarray(fn(batch))
-            t2 = time.monotonic()
-            for i, r in enumerate(reqs):
-                r.result = chunks[i]
-                r.event.set()
-            t3 = time.monotonic()
             self.stage_ms["stack"].append((t1 - t0) * 1e3)
-            self.stage_ms["infer"].append((t2 - t1) * 1e3)
-            self.stage_ms["fanout"].append((t3 - t2) * 1e3)
-            self.n_batches += 1
-            self.n_requests += n
         except Exception as e:  # noqa: BLE001 — report to callers
-            log.exception("batch failed")
+            log.exception("batch dispatch failed")
             for r in reqs:
                 r.error = f"{type(e).__name__}: {e}"
                 r.event.set()
+            return
+        # blocks when max_inflight batches already sit on the device —
+        # bounded device queue; submitters keep queueing into self._q
+        while not self._stop.is_set():
+            try:
+                self._pending.put((reqs, lazy, t1), timeout=0.5)
+                return
+            except queue.Full:
+                continue
+        for r in reqs:  # shutdown while the device queue was full
+            r.error = "server shutting down"
+            r.event.set()
+
+    def _complete_loop(self):
+        while True:
+            try:
+                reqs, lazy, t1 = self._pending.get(timeout=0.1)
+            except queue.Empty:
+                if self._stop.is_set():
+                    return
+                continue
+            try:
+                chunks = np.asarray(lazy)  # waits for the device
+                t2 = time.monotonic()
+                for i, r in enumerate(reqs):
+                    r.result = chunks[i]
+                    r.event.set()
+                t3 = time.monotonic()
+                self.stage_ms["infer"].append((t2 - t1) * 1e3)
+                self.stage_ms["fanout"].append((t3 - t2) * 1e3)
+                self.n_batches += 1
+                self.n_requests += len(reqs)
+            except Exception as e:  # noqa: BLE001 — report to callers
+                log.exception("batch completion failed")
+                for r in reqs:
+                    r.error = f"{type(e).__name__}: {e}"
+                    r.event.set()
 
 
 # --------------------------------------------------------------------------- #

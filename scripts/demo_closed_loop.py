@@ -286,12 +286,14 @@ def main():
 
     agent = TrainAgent(train_cfg)
     warm_tokenizer(agent.processor.tokenizer)
-    state = agent.run()
-    t_train = time.time()
 
     # ---- 3. export per-dataset pipeline statistics for the eval adapter
-    # (dataset_statistics order == mix order; per-task stats must match
-    # what training normalized that task's actions with) ----
+    # BEFORE training starts (they are pipeline properties, available as
+    # soon as the dataset is built) so a run cut short mid-budget can
+    # still be evaluated by scripts/eval_scaleup_ckpt.py from its
+    # intermediate checkpoints (round-4 ADVICE.md). dataset_statistics
+    # order == mix order; per-task stats must match what training
+    # normalizes that task's actions with.
     all_stats = agent.dataset.dataset.dataset_statistics
     stats_paths = {}
     for (task, _), stats in zip(demo_sets, all_stats):
@@ -300,6 +302,9 @@ def main():
         with open(p, "w") as f:
             json.dump({"action": stats["action"], "proprio": stats["proprio"]}, f)
         stats_paths[task] = p
+
+    state = agent.run()
+    t_train = time.time()
 
     params = jax.device_get(avg_lib.eval_params(state.avg, state.params))
 

@@ -105,8 +105,11 @@ def main():
             jnp.asarray(batch["proprios"], dtype),
         )
 
-    def infer_fn(batch: dict) -> np.ndarray:
-        return np.asarray(jit_infer(*_model_args(batch)), np.float32)
+    def infer_fn(batch: dict):
+        # lazy jit output: the BatchingPolicy completer materializes it, so
+        # the worker can stack+dispatch the next batch while this one runs
+        # on the device (in-flight batching)
+        return jit_infer(*_model_args(batch))
 
     # refined steady-state tier: requests carrying prev_chunk warm-start
     # the flow from the re-noised previous chunk (client-owned state; see
@@ -120,12 +123,9 @@ def main():
             )
         )
 
-        def refine_fn(batch: dict) -> np.ndarray:
-            return np.asarray(
-                jit_refine(
-                    *_model_args(batch), jnp.asarray(batch["prev_chunk"], dtype)
-                ),
-                np.float32,
+        def refine_fn(batch: dict):
+            return jit_refine(
+                *_model_args(batch), jnp.asarray(batch["prev_chunk"], dtype)
             )
 
     policy = BatchingPolicy(
