@@ -14,6 +14,7 @@ from open_pi_zero_tpu.envs.drawer_env import (  # noqa: F401
     collect_fractal_demos,
     drawer_expert,
     fractal_proprio_parts,
+    register_drawer_lever_mix,
     write_fractal_demo_dataset,
 )
 from open_pi_zero_tpu.envs.pick_place_env import (  # noqa: F401

@@ -341,6 +341,7 @@ def collect_fractal_demos(
     max_steps: Optional[int] = None,
     target: Optional[str] = None,
     start_coverage: bool = False,
+    balance_targets: bool = False,
 ) -> Tuple[List[dict], float]:
     """Roll the drawer expert; returns (episodes in the raw
     fractal20220817_data step schema, expert success rate). Unlike the
@@ -352,6 +353,15 @@ def collect_fractal_demos(
                     max_steps=int(max_steps or 112), target=target)
     episodes, successes = [], []
     for ep_id in range(n_episodes):
+        if balance_targets and target is None:
+            # EXACT per-language-target balance (ep_id mod 3) instead of
+            # the episode-keyed random draw: the language-grounding lever
+            # (docs/DRAWER_INVESTIGATION.md "Honest status") needs each
+            # "open the {top,middle,bottom} drawer" instruction equally
+            # represented in the no-coverage primary dataset. Layouts and
+            # starts stay episode-keyed (reset() below), only the target
+            # assignment is overridden.
+            env._fixed_target = ep_id % 3
         obs, _ = env.reset(options={"obj_init_options": {"episode_id": ep_id}})
         rng = np.random.default_rng((seed, ep_id, 23))
         if start_coverage:
@@ -416,6 +426,7 @@ def write_fractal_demo_dataset(
     dataset_name: str = "fractal20220817_data",
     target: Optional[str] = None,
     start_coverage: bool = False,
+    balance_targets: bool = False,
 ) -> float:
     """Collect drawer demos and write them as a raw fractal20220817_data
     RLDS dir, byte-compatible with what the production fractal pipeline
@@ -426,6 +437,7 @@ def write_fractal_demo_dataset(
     episodes, expert_rate = collect_fractal_demos(
         n_episodes, seed=seed, render_size=render_size, max_steps=max_steps,
         target=target, start_coverage=start_coverage,
+        balance_targets=balance_targets,
     )
     leaves = [
         rlds.LeafSpec(
@@ -455,3 +467,28 @@ def write_fractal_demo_dataset(
         data_dir, dataset_name, episodes, leaves, shards=min(shards, n_episodes)
     )
     return expert_rate
+
+
+def register_drawer_lever_mix(cov_weight: float = 0.5) -> str:
+    """The drawer language-grounding lever mix
+    (docs/DRAWER_INVESTIGATION.md "Honest status"): PRIMARY = no-coverage
+    per-target-balanced demos (episode-keyed default starts ground the
+    language instruction — the expert goes to the COMMANDED handle, and
+    with balanced targets no nearest-handle shortcut fits all three),
+    SECONDARY = full-workspace coverage starts at a lower weight (state
+    diversity for the servo field without letting the nearest-handle
+    local fit dominate). Mirrors how the reference's OXE mixes pair
+    narrow teleop data with play data at unequal weights
+    (reference src/data/oxe/mixes.py). Returns the mix name."""
+    from open_pi_zero_tpu.data import oxe
+
+    if "fractal_drawer_cov" not in oxe.REGISTRY:
+        oxe.REGISTRY["fractal_drawer_cov"] = dict(
+            oxe.REGISTRY["fractal20220817_data"]
+        )
+        oxe.STANDARDIZE_FNS["fractal_drawer_cov"] = oxe.rt1_transform
+    oxe.MIXES["fractal_drawer_lever"] = [
+        ("fractal20220817_data", 1.0),
+        ("fractal_drawer_cov", float(cov_weight)),
+    ]
+    return "fractal_drawer_lever"

@@ -116,7 +116,7 @@ def main():
     # update 5-6k, so 8k updates is the budget that actually learns)
     ap.add_argument("--task", default="reach",
                     choices=["reach", "pick_place", "multi", "drawer",
-                             "multi_family", "tri_family"])
+                             "drawer_lever", "multi_family", "tri_family"])
     ap.add_argument("--n-demos", type=int, default=600)
     ap.add_argument("--drawer-n-demos", type=int, default=None,
                     help="demo count for the drawer dataset in mixed runs "
@@ -167,8 +167,8 @@ def main():
     # "multi": one policy on BOTH tasks via the interleaved multi-dataset
     # path (sample_from_datasets + transition-count weight balancing +
     # per-dataset statistics — the reference's OXE-mix machinery)
-    multi = args.task in ("multi", "multi_family", "tri_family")
-    drawer = args.task == "drawer"  # fractal/EDR family: raw RT-1 schema,
+    multi = args.task in ("multi", "multi_family", "tri_family", "drawer_lever")
+    drawer = args.task in ("drawer", "drawer_lever")  # fractal/EDR family: raw RT-1 schema,
     # rt1_transform standardization, EDR sticky-gripper adapter at eval
     multi_family = args.task == "multi_family"  # bridge reach (7-dim
     # POS_EULER proprio) + fractal drawer (8-dim POS_QUAT) in ONE policy
@@ -191,6 +191,17 @@ def main():
 
         mix = register_simpler_lite_mix()
         demo_sets = [("reach", "bridge_dataset"), ("pick_place", "simpler_lite_pp")]
+    elif args.task == "drawer_lever":
+        # the language-grounding lever (round-4 verdict task 3 /
+        # docs/DRAWER_INVESTIGATION.md): PRIMARY no-coverage per-target-
+        # balanced demos + SECONDARY coverage-start demos at half weight,
+        # through the same interleaved weighted-mix machinery as the
+        # cross-family runs
+        from open_pi_zero_tpu.envs import register_drawer_lever_mix
+
+        mix = register_drawer_lever_mix()
+        demo_sets = [("drawer", "fractal20220817_data"),
+                     ("drawer_cov", "fractal_drawer_cov")]
     elif drawer:
         mix = "fractal"
         demo_sets = [("drawer", "fractal20220817_data")]
@@ -202,6 +213,8 @@ def main():
     # --drawer-start-coverage can never silently train on stale demos
     # (the per-dataset dir names inside must stay registry names)
     tag = f"_n{args.n_demos}"
+    if args.task == "drawer_lever":
+        tag += "_lever"
     if args.drawer_n_demos:
         tag += f"_dn{args.drawer_n_demos}"
     if args.drawer_target:
@@ -213,14 +226,23 @@ def main():
     for task, name in demo_sets:
         ds_dir = os.path.join(data_dir, name)
         if not os.path.exists(os.path.join(ds_dir, "features.json")):
-            if task == "drawer":
+            if task in ("drawer", "drawer_cov"):
                 from open_pi_zero_tpu.envs import write_fractal_demo_dataset
 
+                lever = args.task == "drawer_lever"
+                n = args.drawer_n_demos or args.n_demos
                 expert_rate[task] = write_fractal_demo_dataset(
-                    ds_dir, args.drawer_n_demos or args.n_demos, seed=0,
+                    ds_dir,
+                    # lever: secondary coverage set is half the primary
+                    n // 2 if task == "drawer_cov" else n,
+                    # distinct demo seed for the secondary set so its
+                    # layouts/episodes don't duplicate the primary's
+                    seed=1000 if task == "drawer_cov" else 0,
                     dataset_name=name,
                     target=args.drawer_target,
-                    start_coverage=args.drawer_start_coverage,
+                    start_coverage=(args.drawer_start_coverage
+                                    or task == "drawer_cov"),
+                    balance_targets=lever,
                 )
             else:
                 expert_rate[task] = write_demo_dataset(
@@ -321,7 +343,11 @@ def main():
         jax.random.key(123), pizero_config_from_dict(ConfigDict(geometry))
     )
     trained, control = {}, {}
-    for task, _ in demo_sets:
+    # drawer_cov is a TRAINING-mix-only dataset (coverage-start demos of
+    # the same drawer env); closed-loop scoring happens once, on the
+    # canonical episode-keyed drawer eval
+    eval_sets = [(t, n) for t, n in demo_sets if t != "drawer_cov"]
+    for task, _ in eval_sets:
         # adapter family follows the TASK (bridge adapter for reach/
         # pick_place, EDR sticky-gripper adapter for drawer); bridge tasks
         # under a cross-family policy pad their 7-dim proprio to 8
@@ -341,8 +367,10 @@ def main():
         log.info("random-init control [%s]: %s", task, control[task])
 
     def rates(d):
+        if args.task == "drawer_lever":
+            return d["drawer"]["success_rate"]
         if multi:
-            return {t: d[t]["success_rate"] for t, _ in demo_sets}
+            return {t: d[t]["success_rate"] for t, _ in eval_sets}
         return d[args.task]["success_rate"]
 
     result = {
