@@ -27,6 +27,7 @@ from open_pi_zero_tpu.envs.reach_env import (  # noqa: F401
     bridge_proprio,
     collect_demos,
     register_simpler_lite_mix,
+    register_simpler_lite_tri_lever_mix,
     register_simpler_lite_tri_mix,
     scripted_expert,
     warm_tokenizer,

@@ -329,6 +329,27 @@ def register_simpler_lite_tri_mix() -> str:
     return "simpler_lite_tri"
 
 
+def register_simpler_lite_tri_lever_mix(cov_weight: float = 0.5) -> str:
+    """Tri-family mix with the drawer language-grounding lever: the three
+    cross-family datasets of register_simpler_lite_tri_mix plus the
+    coverage-start drawer secondary at reduced weight (the drawer primary
+    is collected no-coverage + per-target balanced by the caller — see
+    register_drawer_lever_mix / docs/DRAWER_INVESTIGATION.md)."""
+    from open_pi_zero_tpu.data import oxe
+    from open_pi_zero_tpu.envs.drawer_env import register_drawer_lever_mix
+
+    register_simpler_lite_mix()
+    register_drawer_lever_mix(cov_weight)
+    if "simpler_lite_tri_lever" not in oxe.MIXES:
+        oxe.MIXES["simpler_lite_tri_lever"] = [
+            ("bridge_dataset", 1.0),
+            ("simpler_lite_pp", 1.0),
+            ("fractal20220817_data", 1.0),
+            ("fractal_drawer_cov", float(cov_weight)),
+        ]
+    return "simpler_lite_tri_lever"
+
+
 def warm_tokenizer(tokenizer) -> None:
     """Assign word ids for every instruction in the fixed INSTRUCTIONS order.
     FakeTokenizer hands out ids in first-seen order (processing.py:148-157);

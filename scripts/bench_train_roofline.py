@@ -389,3 +389,41 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def bench_recipe_split(cfg, tcfg, batch_size, steps, dtype):
+    """bench_recipe via the split step (training/split_step.py) — for
+    recipe points where the fused backward+int8-Adam jit crashes the
+    remote compiler (see scripts/probe_depth5.py attribution)."""
+    import jax
+
+    from open_pi_zero_tpu.models import pizero
+    from open_pi_zero_tpu.ops import lora as lora_lib
+    from open_pi_zero_tpu.training.split_step import make_split_train_step
+
+    params = pizero.init_params(jax.random.key(0), cfg, dtype=dtype)
+    params = lora_lib.quantize_per_model_config(params, cfg)
+    n_params = int(sum(x.size for x in jax.tree.leaves(params)))
+    init_split, step, _ = make_split_train_step(cfg, tcfg, params)
+    del params
+    state = init_split(jax.random.key(1))
+    batch = _example_batch(cfg, batch_size, dtype)
+    t0 = time.time()
+    state, metrics = step(state, batch)
+    compile_s = time.time() - t0
+    loss0 = float(metrics["loss"])
+    print(f"  [split] compiled+first step {compile_s:.1f}s loss={loss0:.4f}",
+          flush=True)
+    for _ in range(2):
+        state, metrics = step(state, batch)
+    float(metrics["loss"])
+    ms_chain, state = _time_steps(step, state, batch, steps)
+    return {
+        "n_params": n_params,
+        "compile_s": round(compile_s, 1),
+        "ms_per_step_chained": round(ms_chain, 1),
+        "ms_per_step_synced": None,
+        "dispatch_gap_ms": None,
+        "frames_per_s_per_chip": round(batch_size * 1e3 / ms_chain, 1),
+        "step": "split",
+    }

@@ -116,7 +116,7 @@ def main():
     # update 5-6k, so 8k updates is the budget that actually learns)
     ap.add_argument("--task", default="reach",
                     choices=["reach", "pick_place", "multi", "drawer",
-                             "drawer_lever", "multi_family", "tri_family"])
+                             "drawer_lever", "multi_family", "tri_family", "tri_lever"])
     ap.add_argument("--n-demos", type=int, default=600)
     ap.add_argument("--drawer-n-demos", type=int, default=None,
                     help="demo count for the drawer dataset in mixed runs "
@@ -167,16 +167,27 @@ def main():
     # "multi": one policy on BOTH tasks via the interleaved multi-dataset
     # path (sample_from_datasets + transition-count weight balancing +
     # per-dataset statistics — the reference's OXE-mix machinery)
-    multi = args.task in ("multi", "multi_family", "tri_family", "drawer_lever")
+    multi = args.task in ("multi", "multi_family", "tri_family", "tri_lever",
+                          "drawer_lever")
     drawer = args.task in ("drawer", "drawer_lever")  # fractal/EDR family: raw RT-1 schema,
     # rt1_transform standardization, EDR sticky-gripper adapter at eval
     multi_family = args.task == "multi_family"  # bridge reach (7-dim
     # POS_EULER proprio) + fractal drawer (8-dim POS_QUAT) in ONE policy
     # via the stock `oxe_simple` mix — exercises cross-family proprio
     # zero-padding (pad_actions_and_proprio) in a learned loop
-    tri_family = args.task == "tri_family"  # the full three-task cross-
+    tri_family = args.task in ("tri_family", "tri_lever")  # three-task cross-
     # family policy: reach + pick_place (bridge) + drawer (fractal)
-    if tri_family:
+    if args.task == "tri_lever":
+        # tri-family WITH the drawer language-grounding lever: drawer
+        # primary = no-coverage per-target-balanced, + coverage secondary
+        from open_pi_zero_tpu.envs import register_simpler_lite_tri_lever_mix
+
+        mix = register_simpler_lite_tri_lever_mix()
+        demo_sets = [("reach", "bridge_dataset"),
+                     ("pick_place", "simpler_lite_pp"),
+                     ("drawer", "fractal20220817_data"),
+                     ("drawer_cov", "fractal_drawer_cov")]
+    elif tri_family:
         from open_pi_zero_tpu.envs import register_simpler_lite_tri_mix
 
         mix = register_simpler_lite_tri_mix()
@@ -186,7 +197,7 @@ def main():
     elif multi_family:
         mix = "oxe_simple"
         demo_sets = [("reach", "bridge_dataset"), ("drawer", "fractal20220817_data")]
-    elif multi:
+    elif args.task == "multi":
         from open_pi_zero_tpu.envs import register_simpler_lite_mix
 
         mix = register_simpler_lite_mix()
@@ -213,7 +224,7 @@ def main():
     # --drawer-start-coverage can never silently train on stale demos
     # (the per-dataset dir names inside must stay registry names)
     tag = f"_n{args.n_demos}"
-    if args.task == "drawer_lever":
+    if args.task in ("drawer_lever", "tri_lever"):
         tag += "_lever"
     if args.drawer_n_demos:
         tag += f"_dn{args.drawer_n_demos}"
@@ -229,7 +240,7 @@ def main():
             if task in ("drawer", "drawer_cov"):
                 from open_pi_zero_tpu.envs import write_fractal_demo_dataset
 
-                lever = args.task == "drawer_lever"
+                lever = args.task in ("drawer_lever", "tri_lever")
                 n = args.drawer_n_demos or args.n_demos
                 expert_rate[task] = write_fractal_demo_dataset(
                     ds_dir,

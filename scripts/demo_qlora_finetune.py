@@ -82,6 +82,14 @@ def main():
     ap.add_argument("--lora-r", type=int, default=16)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--eval-seed", type=int, default=1000)
+    ap.add_argument("--retention-weight", type=float, default=0.0,
+                    help="mix OLD-task (reach) demos into the fine-tune at "
+                         "this sampling weight (new task = 1.0) so the "
+                         "float action expert keeps seeing the old task — "
+                         "the replay fix for the round-4 catastrophic-"
+                         "forgetting finding (old task 100% -> 25%). 0 = "
+                         "off (round-4 behavior).")
+    ap.add_argument("--save-freq", type=int, default=0)
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
 
@@ -110,6 +118,31 @@ def main():
     else:
         expert_rate = None
 
+    mix = "bridge"
+    if args.retention_weight > 0:
+        # OLD-task replay: same demo generator/seed as the base run, so
+        # the replay stream is the base policy's own training
+        # distribution, registered as a second dataset in a weighted mix
+        # (the production OXE-mix machinery)
+        from open_pi_zero_tpu.data import oxe
+
+        if "simpler_lite_replay" not in oxe.REGISTRY:
+            oxe.REGISTRY["simpler_lite_replay"] = dict(
+                oxe.REGISTRY["bridge_dataset"]
+            )
+            oxe.STANDARDIZE_FNS["simpler_lite_replay"] = oxe.bridge_transform
+        oxe.MIXES["qlora_retention"] = [
+            ("bridge_dataset", 1.0),
+            ("simpler_lite_replay", args.retention_weight),
+        ]
+        mix = "qlora_retention"
+        replay_dir = os.path.join(data_dir, "simpler_lite_replay")
+        if not os.path.exists(os.path.join(replay_dir, "features.json")):
+            write_demo_dataset(
+                replay_dir, args.n_demos, seed=0, task="reach",
+                dataset_name="simpler_lite_replay",
+            )
+
     # ---- 2. QLoRA geometry: NF4-frozen VLM trunk + SigLIP with fresh
     # adapters; action/proprio mixtures + encoders stay float + trained ----
     geometry = model_geometry(args.hidden, args.layers, proprio_dim=7)
@@ -132,7 +165,7 @@ def main():
         "lora": True,  # optimizer: vlm group = adapters only
         "n_updates": args.n_updates,
         "log_freq": 50,
-        "save_model_freq": 0,
+        "save_model_freq": args.save_freq,
         "eval_freq": 0,
         "global_batch_size": per_dev * n_dev,
         "per_device_batch_size": per_dev,
@@ -148,7 +181,7 @@ def main():
         "resume_checkpoint_path": "auto" if args.resume else None,
         **geometry,
         "data": {"train": {
-            "dataset_mix": "bridge",
+            "dataset_mix": mix,
             "data_path": data_dir,
             "split": "train",
             "window_size": 1,
@@ -187,11 +220,19 @@ def main():
 
     # ---- 5. closed-loop eval (QLoRA tree served directly: the forward
     # consumes NF4 bases + unmerged adapters, the training-path layout) ----
-    stats = agent.dataset.dataset.dataset_statistics[0]
+    all_stats = agent.dataset.dataset.dataset_statistics
+    stats = all_stats[0]
     new_stats_path = os.path.join(args.workdir, "statistics.json")
     with open(new_stats_path, "w") as f:
         json.dump({"action": stats["action"], "proprio": stats["proprio"]}, f)
     base_stats_path = os.path.join(args.base_workdir, "statistics.json")
+    if args.retention_weight > 0:
+        # old-task eval must normalize with the stats training used for
+        # the replay stream (mix order: [new, replay])
+        base_stats_path = os.path.join(args.workdir, "statistics_reach.json")
+        with open(base_stats_path, "w") as f:
+            json.dump({"action": all_stats[1]["action"],
+                       "proprio": all_stats[1]["proprio"]}, f)
 
     params = jax.device_get(state.params)
 
@@ -247,10 +288,14 @@ def main():
         "old_task_success": {
             "finetuned": old_task["success_rate"],
             "base_policy": base_on_old["success_rate"],
-            "note": "reported, not asserted: the float action expert is "
-                    "retrained on the new task only (reference LoRA tier "
-                    "trains the full action expert, train.py:167-210)",
+            "note": ("replay mix keeps the old task in the fine-tune "
+                     f"stream at weight {args.retention_weight}"
+                     if args.retention_weight > 0 else
+                     "reported, not asserted: the float action expert is "
+                     "retrained on the new task only (reference LoRA tier "
+                     "trains the full action expert, train.py:167-210)"),
         },
+        "retention_weight": args.retention_weight,
         "param_groups_B": {k: round(v, 6) for k, v in counts.items()},
         "timings_s": {"setup": round(t_setup - t0, 1),
                       "train": round(t_train - t_setup, 1),
