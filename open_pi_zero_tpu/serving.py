@@ -222,12 +222,24 @@ class BatchingPolicy:
             deadline = time.monotonic() + self.batch_window_s
             while len(reqs) < self.max_batch:
                 remaining = deadline - time.monotonic()
-                if remaining <= 0:
+                # CONTINUOUS batching: while the device is saturated
+                # (in-flight queue full) dispatching earlier buys nothing,
+                # so keep accumulating past the window — the batch that
+                # eventually dispatches is as full as the arrival stream
+                # allows. This is what lifts the mean formed-batch size
+                # toward the bucket size under concurrent load (round-4
+                # measurement: 480 requests -> 117 batches of ~4 at 16
+                # clients because the worker dispatched the moment the
+                # window closed even though the device was busy).
+                if remaining <= 0 and not self._pending.full():
                     break
                 try:
-                    reqs.append(self._q.get(timeout=remaining))
+                    reqs.append(
+                        self._q.get(timeout=max(remaining, 0.002))
+                    )
                 except queue.Empty:
-                    break
+                    if remaining <= 0:
+                        break
             self._run(reqs)
 
     def _run(self, reqs):

@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--requests", type=int, default=30, help="per client")
     ap.add_argument("--out", default="BENCH_SERVING_DAEMON.json")
     ap.add_argument("--tiny", action="store_true", help="tiny model on CPU (CI)")
+    ap.add_argument("--max-inflight", type=int, default=1,
+                    help="device queue depth; 1 = accumulate the next "
+                         "batch for the whole current device run "
+                         "(fullest buckets under closed-loop clients)")
     args = ap.parse_args()
 
     import jax
@@ -87,7 +91,8 @@ def main():
         )
 
     sizes = tuple(sorted({1, *args.batches}))
-    policy = BatchingPolicy(infer_fn, batch_sizes=sizes, batch_window_ms=3)
+    policy = BatchingPolicy(infer_fn, batch_sizes=sizes, batch_window_ms=3,
+                            max_inflight=args.max_inflight)
 
     ids = np.zeros((cfg.max_image_text_tokens,), np.int32)
     ids[: cfg.siglip.num_image_tokens] = cfg.image_token_index

@@ -48,6 +48,11 @@ def main():
         help="comma-separated bucket sizes, one compile each (e.g. 1,4,8,16)",
     )
     parser.add_argument("--window-ms", type=float, default=3.0)
+    parser.add_argument("--max-inflight", type=int, default=1,
+                        help="device queue depth: 1 = accumulate the next"
+                             " batch for the whole current device run"
+                             " (fullest buckets under closed-loop robot"
+                             " clients); raise for open-loop streams")
     parser.add_argument(
         "--random-init",
         action="store_true",
@@ -130,7 +135,7 @@ def main():
 
     policy = BatchingPolicy(
         infer_fn, batch_sizes=args.batch_sizes, batch_window_ms=args.window_ms,
-        refine_fn=refine_fn,
+        refine_fn=refine_fn, max_inflight=args.max_inflight,
     )
 
     import __graft_entry__ as graft
