@@ -136,7 +136,20 @@ def restore_params(path: str, abstract_params: dict) -> dict:
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), abstract_params
     )
     with ocp.StandardCheckpointer() as ckptr:
-        params = ckptr.restore(os.path.join(path, "params"), abstract)
+        try:
+            params = ckptr.restore(os.path.join(path, "params"), abstract)
+        except ValueError:
+            # Cross-topology restore (e.g. an 8-device CPU-mesh checkpoint
+            # loaded on the single axon TPU chip): orbax cannot infer a
+            # sharding from the saved metadata, so pin a concrete
+            # single-device sharding. Same-topology restores keep the
+            # inference path above (no behavior change).
+            sh = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh),
+                abstract_params,
+            )
+            params = ckptr.restore(os.path.join(path, "params"), abstract)
     meta_path = os.path.join(path, META_FILE)
     extra: dict[str, Any] = {}
     if os.path.exists(meta_path):
