@@ -244,6 +244,9 @@ def test_qlora_finetune_script(tmp_path):
               "--workdir", str(tmp_path / "ft"), "--n-demos", "12",
               "--n-updates", "3", "--n-eval-episodes", "2",
               "--global-batch", "16", "--hidden", "64", "--layers", "2",
+              "--retention-weight", "0.5",  # exercise the old-task replay
+              # mix (second dataset in the OXE-mix registry + per-stream
+              # statistics) — the round-4 catastrophic-forgetting fix
               "--out", str(out)])
     assert ft.returncode == 0, ft.stderr[-3000:]
     import json as _json
@@ -251,5 +254,6 @@ def test_qlora_finetune_script(tmp_path):
     result = _json.loads(out.read_text())
     assert result["frozen_nf4_payloads_bitwise_unchanged"] is True
     assert result["n_frozen_payload_leaves"] > 0
+    assert result["retention_weight"] == 0.5
     assert "finetuned" in result["new_task_success"]
     assert "base_policy" in result["old_task_success"]
